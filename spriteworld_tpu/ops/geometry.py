@@ -18,16 +18,16 @@ import numpy as np
 from spriteworld_tpu import constants
 from spriteworld_tpu.core import state as state_lib
 
-_BANK = None
 _DEG2RAD = np.pi / 180.0
+
+# Padded vertex bank as a host constant; jnp.asarray at use sites lets XLA
+# embed it per-trace (it must NOT be cached as a traced value).
+_BANK_HOST = constants.VERTEX_BANK
 
 
 def vertex_bank() -> jnp.ndarray:
     """The padded vertex bank as a device constant f32[13, 30, 2]."""
-    global _BANK
-    if _BANK is None:
-        _BANK = jnp.asarray(constants.VERTEX_BANK)
-    return _BANK
+    return jnp.asarray(_BANK_HOST)
 
 
 def centered_vertices(factors: jnp.ndarray) -> jnp.ndarray:
