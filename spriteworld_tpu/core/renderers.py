@@ -1,0 +1,171 @@
+"""Renderers: traceable observation functions over the factor state.
+
+Rebuild of /root/reference/spriteworld/renderers/. Each renderer exposes
+``render(factors, num_sprites, success) -> pytree of arrays`` (traceable) and
+``observation_spec() -> pytree of jax.ShapeDtypeStruct``. The dm_env adapter
+maps these to reference-style observation formats (list-of-dicts, numpy
+scalars) at the host boundary.
+
+  * SpriteFactors  — dense [max_sprites, F] factor slab + live mask
+    (reference handcrafted.py:29-90 returns a list of per-sprite dicts; the
+    batched engine keeps the padded array form).
+  * SpritePassthrough — the raw packed factor matrix + count
+    (handcrafted.py:85-112 passes the Sprite list through).
+  * Success — task success flag (handcrafted.py:115-131).
+  * ImageRenderer — RGB pixels via the XLA/Pallas rasterizer
+    (pil_renderer.py:30-94). Accepts color_to_rgb='hsv' | None | callable.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spriteworld_tpu.core import state as state_lib
+from spriteworld_tpu.ops import rasterize
+from spriteworld_tpu.utils import colors as color_maps
+
+
+class AbstractRenderer:
+    """Interface: render(factors, num_sprites, success) + observation_spec."""
+
+    max_sprites: Optional[int] = None  # set by the environment at bind time
+
+    def bind(self, max_sprites: int):
+        """Called by the environment so specs can be static."""
+        self.max_sprites = max_sprites
+        return self
+
+    def render(self, factors, num_sprites, success):
+        raise NotImplementedError
+
+    def observation_spec(self):
+        raise NotImplementedError
+
+
+class SpriteFactors(AbstractRenderer):
+    """Selected factor columns as a dense array + live mask."""
+
+    def __init__(self, factors: Sequence[str] = state_lib.FACTOR_NAMES):
+        if not set(factors).issubset(set(state_lib.FACTOR_NAMES)):
+            raise ValueError(
+                f"Factors have to belong to {state_lib.FACTOR_NAMES}.")
+        self._factors = tuple(factors)
+        self._columns = np.asarray(
+            [state_lib.FACTOR_INDEX[f] for f in factors], dtype=np.int32)
+
+    @property
+    def factor_names(self):
+        return self._factors
+
+    def render(self, factors, num_sprites, success):
+        del success
+        k = factors.shape[-2]
+        return {
+            "factors": factors[..., jnp.asarray(self._columns)],
+            "mask": jnp.arange(k) < num_sprites,
+        }
+
+    def observation_spec(self):
+        k = self.max_sprites
+        return {
+            "factors": jax.ShapeDtypeStruct(
+                (k, len(self._factors)), jnp.float32),
+            "mask": jax.ShapeDtypeStruct((k,), jnp.bool_),
+        }
+
+
+class SpritePassthrough(AbstractRenderer):
+    """The full packed factor state (engine analogue of the Sprite list)."""
+
+    def render(self, factors, num_sprites, success):
+        del success
+        return {"factors": factors, "num_sprites": num_sprites}
+
+    def observation_spec(self):
+        k = self.max_sprites
+        return {
+            "factors": jax.ShapeDtypeStruct(
+                (k, state_lib.NUM_FACTORS), jnp.float32),
+            "num_sprites": jax.ShapeDtypeStruct((), jnp.int32),
+        }
+
+
+class Success(AbstractRenderer):
+    """Task success flag as a boolean observation."""
+
+    def render(self, factors, num_sprites, success):
+        del factors, num_sprites
+        return success
+
+    def observation_spec(self):
+        return jax.ShapeDtypeStruct((), jnp.bool_)
+
+
+def _resolve_color_map(color_to_rgb) -> Optional[Callable]:
+    if color_to_rgb is None:
+        return None
+    if callable(color_to_rgb):
+        return color_to_rgb
+    if color_to_rgb == "hsv":
+        return color_maps.hsv_to_rgb
+    raise ValueError(f"Unknown color_to_rgb: {color_to_rgb!r}")
+
+
+class ImageRenderer(AbstractRenderer):
+    """Anti-aliased RGB rendering of the scene.
+
+    Drop-in functional analogue of the reference PILRenderer
+    (pil_renderer.py:30-94): supersampled canvas, back-to-front polygon
+    painting, vertical flip to math coordinates.
+    """
+
+    def __init__(self,
+                 image_size: Tuple[int, int] = (64, 64),
+                 anti_aliasing: int = 1,
+                 bg_color: Optional[Tuple[int, int, int]] = None,
+                 color_to_rgb: Union[None, str, Callable] = None,
+                 use_pallas: Union[bool, str] = "auto"):
+        self._image_size = tuple(image_size)
+        self._anti_aliasing = int(anti_aliasing)
+        self._bg_color = bg_color
+        self._color_to_rgb = _resolve_color_map(color_to_rgb)
+        self._use_pallas = use_pallas
+
+    @property
+    def image_size(self):
+        return self._image_size
+
+    def _pallas_enabled(self) -> bool:
+        if self._use_pallas == "auto":
+            return jax.default_backend() == "tpu"
+        return bool(self._use_pallas)
+
+    def render(self, factors, num_sprites, success):
+        del success
+        if self._pallas_enabled():
+            from spriteworld_tpu.ops import rasterize_pallas
+
+            return rasterize_pallas.render_rgb(
+                factors, num_sprites,
+                image_size=self._image_size,
+                anti_aliasing=self._anti_aliasing,
+                bg_color=self._bg_color,
+                color_to_rgb=self._color_to_rgb)
+        return rasterize.render_rgb(
+            factors, num_sprites,
+            image_size=self._image_size,
+            anti_aliasing=self._anti_aliasing,
+            bg_color=self._bg_color,
+            color_to_rgb=self._color_to_rgb)
+
+    def observation_spec(self):
+        return jax.ShapeDtypeStruct(
+            self._image_size + (3,), jnp.uint8)
+
+
+# Familiar alias: reference users construct `PILRenderer` (common.py:30-38).
+PILRenderer = ImageRenderer

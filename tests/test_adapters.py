@@ -1,0 +1,137 @@
+"""Adapters: dm_env conformance + reference-shaped observations."""
+
+import numpy as np
+import pytest
+
+from spriteworld_tpu.adapters import dm_env_adapter
+from spriteworld_tpu.core import actions
+from spriteworld_tpu.core import distributions as distribs
+from spriteworld_tpu.core import generators
+from spriteworld_tpu.core import renderers
+from spriteworld_tpu.core import tasks
+
+
+def _make_dm_env(max_episode_length=5, extra_renderers=None,
+                 no_default_renderers=False):
+    dist = distribs.Product([
+        distribs.Continuous("x", 0.1, 0.9),
+        distribs.Continuous("y", 0.1, 0.9),
+        distribs.Discrete("shape", ["square", "triangle"]),
+        distribs.Discrete("scale", [0.2]),
+        distribs.Continuous("c0", 0.0, 1.0),
+    ])
+    rend = {} if no_default_renderers else {
+        "factors": renderers.SpriteFactors(),
+        "success": renderers.Success()}
+    rend.update(extra_renderers or {})
+    return dm_env_adapter.Environment(
+        task=tasks.NoReward(),
+        action_space=actions.SelectMove(scale=0.25),
+        renderers=rend,
+        init_sprites=generators.generate_sprites(dist, 2),
+        max_episode_length=max_episode_length,
+        metadata={"name": "test"},
+        seed=0)
+
+
+def test_dm_env_conformance():
+    """Run dm_env's own protocol conformance suite against the adapter.
+
+    The reference does the same (tests/environment_test.py:34-51), with the
+    same two tweaks: empty renderers for speed, and an overridden
+    observation validator (its SpriteFactors obs is a list of dicts, which
+    dm_env's default nest check cannot compare against the spec).
+    """
+    from dm_env import test_utils
+    import unittest
+
+    class Conformance(test_utils.EnvironmentTestMixin, unittest.TestCase):
+        def make_object_under_test(inner_self):
+            return _make_dm_env(no_default_renderers=True)
+
+        def assertValidObservation(inner_self, observation):
+            spec = inner_self.environment.observation_spec()
+            for k, v in observation.items():
+                inner_self.assertConformsToSpec(v, spec[k])
+
+        def make_action_sequence(inner_self):
+            rng = np.random.default_rng(0)
+            for _ in range(8):
+                yield rng.uniform(0, 1, 4).astype(np.float32)
+
+    suite = unittest.defaultTestLoader.loadTestsFromTestCase(Conformance)
+    result = unittest.TextTestRunner(verbosity=0).run(suite)
+    assert result.wasSuccessful(), result.failures + result.errors
+
+
+def test_factors_observation_is_list_of_dicts():
+    env = _make_dm_env()
+    ts = env.reset()
+    obs = ts.observation["factors"]
+    assert len(obs) == 2
+    assert set(obs[0].keys()) == set(
+        ("x", "y", "shape", "angle", "scale", "c0", "c1", "c2",
+         "x_vel", "y_vel"))
+    assert isinstance(obs[0]["x"], float)
+    assert obs[0]["shape"] in (1.0, 2.0)
+    assert isinstance(ts.observation["success"], bool)
+
+
+def test_episode_loop_reference_style():
+    """The reference example_run_loop pattern works unchanged."""
+    env = _make_dm_env(max_episode_length=4)
+    rng = np.random.default_rng(1)
+    for _ in range(2):
+        ts = env.reset()
+        assert ts.first()
+        steps = 0
+        while not ts.last():
+            ts = env.step(rng.uniform(0, 1, 4))
+            steps += 1
+            assert steps <= 5
+        assert steps == 4
+
+
+def test_state_and_helpers():
+    env = _make_dm_env()
+    env.reset()
+    st = env.state()
+    assert st["sprites"].shape == (2, 10)
+    assert st["global_state"]["metadata"] == {"name": "test"}
+    assert isinstance(env.success(), bool)
+    assert isinstance(env.should_terminate(), bool)
+    p = env.sample_contained_position()
+    assert p.shape == (2,)
+    assert env.action_space is not None
+
+
+def test_image_observation():
+    env = _make_dm_env(extra_renderers={
+        "image": renderers.ImageRenderer(
+            (32, 32), anti_aliasing=1, color_to_rgb="hsv",
+            use_pallas=False)})
+    ts = env.reset()
+    img = ts.observation["image"]
+    assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+    spec = env.observation_spec()
+    assert spec["image"].shape == (32, 32, 3)
+
+
+def test_embodied_action_adapter():
+    dist = distribs.Product([
+        distribs.Continuous("x", 0.1, 0.9),
+        distribs.Continuous("y", 0.1, 0.9),
+        distribs.Discrete("scale", [0.15]),
+    ])
+    env = dm_env_adapter.Environment(
+        task=tasks.NoReward(),
+        action_space=actions.Embodied(step_size=0.05),
+        renderers={"factors": renderers.SpriteFactors()},
+        init_sprites=generators.generate_sprites(dist, 3),
+        max_episode_length=5,
+        seed=0)
+    env.reset()
+    ts = env.step([1, 2])
+    assert ts.mid()
+    spec = env.action_spec()
+    assert isinstance(spec, list) and len(spec) == 2
