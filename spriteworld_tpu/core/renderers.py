@@ -128,12 +128,14 @@ class ImageRenderer(AbstractRenderer):
                  anti_aliasing: int = 1,
                  bg_color: Optional[Tuple[int, int, int]] = None,
                  color_to_rgb: Union[None, str, Callable] = None,
-                 use_pallas: Union[bool, str] = "auto"):
+                 use_pallas: Union[bool, str] = "auto",
+                 pil_exact: bool = True):
         self._image_size = tuple(image_size)
         self._anti_aliasing = int(anti_aliasing)
         self._bg_color = bg_color
         self._color_to_rgb = _resolve_color_map(color_to_rgb)
         self._use_pallas = use_pallas
+        self._pil_exact = bool(pil_exact)
 
     @property
     def image_size(self):
@@ -154,13 +156,15 @@ class ImageRenderer(AbstractRenderer):
                 image_size=self._image_size,
                 anti_aliasing=self._anti_aliasing,
                 bg_color=self._bg_color,
-                color_to_rgb=self._color_to_rgb)
+                color_to_rgb=self._color_to_rgb,
+                pil_exact=self._pil_exact)
         return rasterize.render_rgb(
             factors, num_sprites,
             image_size=self._image_size,
             anti_aliasing=self._anti_aliasing,
             bg_color=self._bg_color,
-            color_to_rgb=self._color_to_rgb)
+            color_to_rgb=self._color_to_rgb,
+            pil_exact=self._pil_exact)
 
     def observation_spec(self):
         return jax.ShapeDtypeStruct(

@@ -5,51 +5,173 @@ pil_renderer.py:66-91): draw filled sprite polygons back-to-front on an
 anti_aliasing-supersampled canvas, downsample, and flip vertically to math
 coordinates.
 
-TPU-native formulation: for every supersampled pixel center, run an even-odd
-crossing-number test against each sprite's polygon and keep the color of the
-*last* (foreground-most) live sprite containing it — exactly painter's
-occlusion without any scatter. The per-sprite loop is a static Python loop
-(K is small and static), producing one fused elementwise XLA kernel over the
-pixel grid; the downsample is a box mean-pool.
+Two polygon-fill modes, both fully vectorized over the pixel grid:
 
-Parity notes (SURVEY.md §7): exact pixel parity with PIL is defined at
-anti_aliasing=1 (PIL's LANCZOS at scale 1 is the identity); at AA>1 PIL uses
-a Lanczos filter while we use a box filter, giving bounded differences along
-polygon edges only — the reference's own tests already tolerate AA
-variation (tests/renderers/pil_renderer_test.py:68-72).
+* ``pil_exact=True`` (default): a reverse-engineered, per-pixel formulation
+  of Pillow's integer scanline fill, empirically validated pixel-exact
+  against ``ImageDraw.polygon`` across thousands of random polygons and all
+  canonical sprite shapes. Pillow's algorithm (vertices truncated to ints;
+  per scanline: edge intersections with inclusive y-ranges, duplicated at an
+  edge's lower endpoint above the global bottom; sorted pairs filled as
+  ``[round_half_up(xl), round_half_down(xr)]``; horizontal edges drawn
+  directly; wedge extensions at one-sided top vertices and at the global
+  bottom row) is re-expressed WITHOUT sorting:
 
-This module is the portable XLA path; `rasterize_pallas.py` provides the
-hand-tiled TPU kernel with identical semantics.
+      pair-filled(c) <=> odd(#{x_i <= c-0.5}) or exists x_i in (c-0.5, c+0.5)
+
+  with one instance of the row maximum removed when the intersection count
+  is odd. This makes the exact fill a pure per-edge accumulation — ideal
+  for both XLA fusion and the Pallas TPU kernel.
+
+* ``pil_exact=False``: clean centroid sampling (even-odd crossing test at
+  pixel centers) — the mathematically natural fill, slightly cheaper, for
+  consumers that don't need bit parity with the reference.
+
+Parity scope (SURVEY.md §7): bit-exact vs PIL at anti_aliasing=1; at AA>1
+the canvas fill is still exact but PIL downsamples with Lanczos while we use
+a box filter, giving small edge-local differences (the reference's own tests
+already tolerate AA variation, tests/renderers/pil_renderer_test.py:68-72).
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from spriteworld_tpu import constants
+from spriteworld_tpu.core import state as state_lib
 from spriteworld_tpu.ops import geometry
 
+_COUNTS_HOST = constants.VERTEX_COUNTS
 
-def pixel_centers(height: int, width: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Math-coordinate pixel centers of the final (flipped) image.
 
-    Row r of the output image covers y in [(H-1-r)/H, (H-r)/H) — the flipud
-    of PIL's top-left origin (pil_renderer.py:86-90). Returns (px[W], py[H]).
+def _round_half_up(f):
+    """Pillow ROUND_UP: round half away from zero (positive domain)."""
+    return jnp.floor(f + 0.5)
+
+
+def _canvas_vertices(factors, hc: int, wc: int):
+    """World vertices scaled to PIL canvas coordinates (x*W, y*H)."""
+    verts = geometry.world_vertices(factors)  # [K, V, 2] world
+    scale = jnp.asarray([wc, hc], jnp.float32)
+    return verts * scale
+
+
+def _pil_polygon_mask(verts_c, count, hc: int, wc: int):
+    """Pixel-exact Pillow fill of one polygon on the canvas.
+
+    Args:
+      verts_c: f32[V, 2] canvas-space vertices (padding repeats vertex 0).
+      count: i32 true vertex count.
+      hc, wc: canvas height/width.
+
+    Returns:
+      bool[hc, wc] in PIL orientation (row 0 = top).
     """
-    px = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
-    py = (height - 0.5 - jnp.arange(height, dtype=jnp.float32)) / height
-    return px, py
+    v = jnp.trunc(verts_c)
+    vmax = v.shape[0]
+    idx = jnp.arange(vmax)
+    x0, y0 = v[:, 0], v[:, 1]
+    x1 = jnp.roll(x0, -1)
+    y1 = jnp.roll(y0, -1)
+    valid = idx < count  # edges i -> i+1 (wrap through padding = closing)
+    horiz = (y0 == y1) & valid
+    slant = (~(y0 == y1)) & valid
+
+    ymin_e = jnp.minimum(y0, y1)
+    ymax_e = jnp.maximum(y0, y1)
+    big = jnp.float32(1e9)
+    gymax = jnp.max(jnp.where(valid, ymax_e, -big))
+
+    rows = jnp.arange(hc, dtype=jnp.float32)[:, None]  # [H, 1]
+    cols = jnp.arange(wc, dtype=jnp.float32)[None, :]  # [1, W]
+
+    # --- scanline pair fill, sort-free -------------------------------- #
+    inr = slant[None, :] & (rows >= ymin_e) & (rows <= ymax_e)  # [H, V]
+    dy = jnp.where(y1 == y0, 1.0, y1 - y0)
+    xi = x0 + (rows - y0) * ((x1 - x0) / dy)  # [H, V]
+    dup = inr & (rows == ymax_e) & (ymax_e < gymax)
+    w = inr.astype(jnp.int32) + dup.astype(jnp.int32)  # instance weights
+
+    total = w.sum(axis=1)  # [H]
+    odd_total = (total % 2) == 1
+    rowmax = jnp.max(jnp.where(w > 0, xi, -big), axis=1)  # [H]
+
+    # Counts per pixel; [H, V, W] intermediates fuse into the reductions.
+    xi_b = xi[:, :, None]
+    w_b = w[:, :, None]
+    le = (w_b * (xi_b <= cols[None] - 0.5)).sum(axis=1)  # [H, W]
+    win = (w_b * ((xi_b > cols[None] - 0.5)
+                  & (xi_b < cols[None] + 0.5))).sum(axis=1)
+    # Odd-count trim: drop one instance of the row max.
+    rm = rowmax[:, None]
+    le = le - (odd_total[:, None] & (rm <= cols - 0.5)).astype(jnp.int32)
+    win = win - (odd_total[:, None] & (rm > cols - 0.5)
+                 & (rm < cols + 0.5)).astype(jnp.int32)
+    fill = ((le % 2) == 1) | (win > 0)
+
+    # --- horizontal edges --------------------------------------------- #
+    hx_lo = jnp.minimum(x0, x1)
+    hx_hi = jnp.maximum(x0, x1)
+    hfill = (horiz[None, :, None]
+             & (rows[:, None, :] == y0[None, :, None])
+             & (hx_lo[None, :, None] < cols[None] + 0.5)
+             & (hx_hi[None, :, None] > cols[None] - 0.5)).any(axis=1)
+
+    # --- wedge extensions at vertices --------------------------------- #
+    # Geometric neighbors skip consecutive duplicate (truncation-collided)
+    # points, searched over a window of 3.
+    def neighbor(direction):
+        nx, ny, found = (jnp.zeros(vmax), jnp.zeros(vmax),
+                         jnp.zeros(vmax, bool))
+        for step in (1, 2, 3):
+            j = jnp.mod(idx + direction * step, jnp.maximum(count, 1))
+            cx, cy = x0[j], y0[j]
+            differs = (cx != x0) | (cy != y0)
+            take = (~found) & differs
+            nx = jnp.where(take, cx, nx)
+            ny = jnp.where(take, cy, ny)
+            found = found | differs
+        return nx, ny, found
+
+    px, py, pf = neighbor(-1)
+    nx, ny, nf = neighbor(+1)
+    vx, vy = x0, y0
+    ok = valid & pf & nf & (py != vy) & (ny != vy)
+    is_top = ok & (py > vy) & (ny > vy)
+    is_gbot = ok & (py < vy) & (ny < vy) & (vy == gymax)
+    adj = jnp.where(is_top, vy + 1.0, vy - 1.0)
+    u1 = vx + (adj - vy) * (px - vx) / jnp.where(py == vy, 1.0, py - vy)
+    u2 = vx + (adj - vy) * (nx - vx) / jnp.where(ny == vy, 1.0, ny - vy)
+    active = is_top | is_gbot
+    right_side = active & (u1 > vx) & (u2 > vx)
+    left_side = active & (u1 < vx) & (u2 < vx)
+    # right: [vx, round_up(min_u)-1];  left: [round_up(max_u)+1, vx]
+    min_u = jnp.minimum(u1, u2)
+    max_u = jnp.maximum(u1, u2)
+    lo = jnp.where(right_side, vx,
+                   jnp.where(left_side, _round_half_up(max_u) + 1.0, big))
+    hi = jnp.where(right_side, _round_half_up(min_u) - 1.0,
+                   jnp.where(left_side, vx, -big))
+    wfill = (active[None, :, None]
+             & (rows[:, None, :] == vy[None, :, None])
+             & (cols[None] >= lo[None, :, None])
+             & (cols[None] <= hi[None, :, None])).any(axis=1)
+
+    return fill | hfill | wfill
 
 
-def _edges(verts_k: jnp.ndarray):
-    """Edge endpoints of one polygon: (x1, y1, x2, y2), each [V]."""
-    x1 = verts_k[:, 0]
-    y1 = verts_k[:, 1]
-    return x1, y1, jnp.roll(x1, -1), jnp.roll(y1, -1)
+def _centroid_polygon_mask(verts_c, count, hc: int, wc: int):
+    """Even-odd crossing test at pixel centers (PIL orientation)."""
+    del count  # padding keeps the closing edge degenerate-safe
+    px = jnp.arange(wc, dtype=jnp.float32) + 0.5
+    py = jnp.arange(hc, dtype=jnp.float32) + 0.5
+    points = jnp.stack(
+        jnp.meshgrid(px, py, indexing="xy"), axis=-1)  # [H, W, 2]
+    return geometry.points_in_polygons(verts_c, points)
 
 
 def render_rgb(factors: jnp.ndarray,
@@ -58,26 +180,19 @@ def render_rgb(factors: jnp.ndarray,
                image_size: Tuple[int, int] = (64, 64),
                anti_aliasing: int = 1,
                bg_color: Optional[Tuple[int, int, int]] = None,
-               color_to_rgb: Optional[Callable] = None) -> jnp.ndarray:
-    """Render one scene to u8[H, W, 3].
-
-    Args:
-      factors: f32[K, 10] packed factor matrix.
-      num_sprites: i32 scalar live count.
-      image_size: (H, W) of the output.
-      anti_aliasing: supersampling factor (canvas is AA*H x AA*W).
-      bg_color: background RGB (default black), ints in [0, 255].
-      color_to_rgb: traceable [K, 3] -> [K, 3] map producing values in
-        [0, 255] (e.g. utils.colors.hsv_to_rgb); identity if None.
-    """
+               color_to_rgb: Optional[Callable] = None,
+               pil_exact: bool = True) -> jnp.ndarray:
+    """Render one scene to u8[H, W, 3] (math orientation: row 0 = y~1)."""
     h, w = image_size
     aa = anti_aliasing
     hc, wc = h * aa, w * aa
 
-    verts = geometry.world_vertices(factors)  # [K, V, 2]
+    verts_c = _canvas_vertices(factors, hc, wc)  # [K, V, 2]
     k = factors.shape[0]
+    shape_ids = factors[:, state_lib.SHAPE].astype(jnp.int32)
+    counts = jnp.asarray(_COUNTS_HOST)[shape_ids]
 
-    colors = factors[:, 5:8]  # (c0, c1, c2)
+    colors = factors[:, 5:8]
     if color_to_rgb is not None:
         colors = color_to_rgb(colors)
     # PIL truncates to uint8 after the color map (color_maps.py:28).
@@ -85,25 +200,17 @@ def render_rgb(factors: jnp.ndarray,
 
     bg = jnp.asarray(
         bg_color if bg_color is not None else (0, 0, 0), jnp.float32)
-
-    px, py = pixel_centers(hc, wc)
-    pxg = px[None, :]  # [1, Wc]
-    pyg = py[:, None]  # [Hc, 1]
-
     canvas = jnp.broadcast_to(bg, (hc, wc, 3))
-    # Painter's algorithm: ascending slot index = back-to-front.
+
+    mask_fn = _pil_polygon_mask if pil_exact else _centroid_polygon_mask
+    # Painter's algorithm: ascending slot index paints over (z-order).
     for i in range(k):
-        x1, y1, x2, y2 = _edges(verts[i])
-        inside = jnp.zeros((hc, wc), dtype=bool)
-        for e in range(x1.shape[0]):
-            straddles = (y1[e] > pyg) != (y2[e] > pyg)
-            dy = y2[e] - y1[e]
-            t = (pyg - y1[e]) / jnp.where(dy == 0.0, 1.0, dy)
-            xc = x1[e] + t * (x2[e] - x1[e])
-            inside = inside ^ (straddles & (pxg < xc))
+        inside = mask_fn(verts_c[i], counts[i], hc, wc)
         live = i < num_sprites
         canvas = jnp.where((inside & live)[..., None], colors[i], canvas)
 
     if aa > 1:
         canvas = canvas.reshape(h, aa, w, aa, 3).mean(axis=(1, 3))
+    # PIL top-left origin -> math bottom-left origin (pil_renderer.py:86-90).
+    canvas = jnp.flip(canvas, axis=0)
     return jnp.round(canvas).astype(jnp.uint8)
