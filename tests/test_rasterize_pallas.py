@@ -1,0 +1,92 @@
+"""Pallas rasterizer vs the XLA reference rasterizer.
+
+The XLA path (ops/rasterize.py) is itself pinned bit-exactly against PIL at
+anti_aliasing=1 (tests/test_render.py), so agreement here transitively gives
+PIL parity for the kernel. Runs in Pallas interpreter mode on the CPU test
+platform; on TPU the same kernel compiles via Mosaic.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spriteworld_tpu.core import state as state_lib
+from spriteworld_tpu.ops import rasterize, rasterize_pallas
+from spriteworld_tpu.utils import colors as color_maps
+
+
+def random_scene(seed, k=6, kmax=8):
+    rng = np.random.RandomState(seed)
+    factors = np.tile(state_lib.DEFAULT_FACTORS, (kmax, 1))
+    factors[:, state_lib.X] = rng.uniform(0.1, 0.9, kmax)
+    factors[:, state_lib.Y] = rng.uniform(0.1, 0.9, kmax)
+    factors[:, state_lib.SHAPE] = rng.randint(1, 13, kmax)
+    factors[:, state_lib.ANGLE] = rng.uniform(0, 360, kmax)
+    factors[:, state_lib.SCALE] = rng.uniform(0.08, 0.3, kmax)
+    factors[:, 5:8] = rng.randint(0, 256, (kmax, 3))
+    return jnp.asarray(factors, jnp.float32), jnp.int32(k)
+
+
+@pytest.mark.parametrize("pil_exact", [True, False])
+@pytest.mark.parametrize("aa", [1, 2])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_matches_xla_rasterizer(pil_exact, aa, seed):
+    factors, num = random_scene(seed)
+    want = rasterize.render_rgb(
+        factors, num, image_size=(32, 32), anti_aliasing=aa,
+        pil_exact=pil_exact)
+    got = rasterize_pallas.render_rgb(
+        factors, num, image_size=(32, 32), anti_aliasing=aa,
+        pil_exact=pil_exact, interpret=True)
+    want = np.asarray(want).astype(np.int32)
+    got = np.asarray(got).astype(np.int32)
+    if aa == 1:
+        np.testing.assert_array_equal(got, want)
+    else:
+        # Box means accumulate in a different order (matmul); allow +-1 at
+        # rounding boundaries.
+        assert np.abs(got - want).max() <= 1
+
+
+def test_bg_and_colormap_and_occlusion():
+    factors, _ = random_scene(7, kmax=4)
+    # Two overlapping sprites: slot order is z-order.
+    factors = factors.at[0, 0:2].set(jnp.asarray([0.5, 0.5]))
+    factors = factors.at[1, 0:2].set(jnp.asarray([0.52, 0.5]))
+    factors = factors.at[:, state_lib.SCALE].set(0.4)
+    factors = factors.at[:2, 5:8].set(
+        jnp.asarray([[0.9, 1.0, 1.0], [0.3, 1.0, 1.0]]))
+    num = jnp.int32(2)
+    kwargs = dict(image_size=(24, 24), anti_aliasing=1,
+                  bg_color=(10, 20, 30), color_to_rgb=color_maps.hsv_to_rgb)
+    want = rasterize.render_rgb(factors, num, **kwargs)
+    got = rasterize_pallas.render_rgb(
+        factors, num, interpret=True, **kwargs)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_num_sprites_masks_dead_slots():
+    factors, _ = random_scene(3)
+    a = rasterize_pallas.render_rgb(
+        factors, jnp.int32(2), image_size=(16, 16), interpret=True)
+    z = jnp.zeros_like(factors)
+    b = rasterize_pallas.render_rgb(
+        factors.at[2:].set(z[2:]), jnp.int32(2), image_size=(16, 16),
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_vmap_batches_over_scenes():
+    scenes = [random_scene(s) for s in range(3)]
+    factors = jnp.stack([f for f, _ in scenes])
+    nums = jnp.stack([n for _, n in scenes])
+    fn = functools.partial(
+        rasterize_pallas.render_rgb, image_size=(16, 16), anti_aliasing=2,
+        interpret=True)
+    batched = jax.vmap(lambda f, n: fn(f, n))(factors, nums)
+    for i, (f, n) in enumerate(scenes):
+        np.testing.assert_array_equal(
+            np.asarray(batched[i]), np.asarray(fn(f, n)))
