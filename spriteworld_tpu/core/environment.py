@@ -103,14 +103,18 @@ class Environment:
     def _fresh(self, key):
         k_scene, k_next = jax.random.split(key)
         factors, num = self._init_sprites.sample(k_scene)
-        state = EnvState(
+        return EnvState(
             factors=factors,
             num_sprites=num,
             step_count=jnp.int32(0),
             reset_next=jnp.bool_(False),
             key=k_next)
-        success = self._task.success(factors, num)
-        obs = self.observation(factors, num, success)
+
+    def reset(self, key):
+        """Sample a fresh scene; returns (EnvState, FIRST TimeStep)."""
+        state = self._fresh(key)
+        success = self._task.success(state.factors, state.num_sprites)
+        obs = self.observation(state.factors, state.num_sprites, success)
         ts = TimeStep(
             step_type=jnp.int32(StepType.FIRST),
             reward=jnp.float32(0.0),
@@ -118,21 +122,26 @@ class Environment:
             observation=obs)
         return state, ts
 
-    def reset(self, key):
-        """Sample a fresh scene; returns (EnvState, FIRST TimeStep)."""
-        return self._fresh(key)
-
-    def step(self, state: EnvState, action):
-        """One environment transition with auto-reset.
+    def transition(self, state: EnvState, action):
+        """One state transition with auto-reset — no observation.
 
         Under vmap, `lax.cond` lowers to a select: both branches run for all
         lanes and the terminated lanes take the reset result — the standard
-        batched auto-reset pattern.
+        batched auto-reset pattern. Rendering is deliberately hoisted OUT of
+        the cond (and out of this function) so each step rasterizes exactly
+        once and batched callers can use the renderers' batched fast paths.
+        Returns (new_state, TimeStep with empty observation).
         """
 
         def reset_branch(operand):
             st, _ = operand
-            return self._fresh(st.key)
+            fresh = self._fresh(st.key)
+            ts = TimeStep(
+                step_type=jnp.int32(StepType.FIRST),
+                reward=jnp.float32(0.0),
+                discount=jnp.float32(1.0),
+                observation=())
+            return fresh, ts
 
         def step_branch(operand):
             st, act = operand
@@ -153,13 +162,12 @@ class Environment:
             terminate = success | oof \
                 | (step_count >= self._max_episode_length)
 
-            obs = self.observation(factors, st.num_sprites, success)
             ts = TimeStep(
                 step_type=jnp.where(
                     terminate, StepType.LAST, StepType.MID).astype(jnp.int32),
                 reward=jnp.asarray(reward, jnp.float32),
                 discount=jnp.where(terminate, 0.0, 1.0).astype(jnp.float32),
-                observation=obs)
+                observation=())
             new_state = EnvState(
                 factors=factors,
                 num_sprites=st.num_sprites,
@@ -170,6 +178,50 @@ class Environment:
 
         return jax.lax.cond(
             state.reset_next, reset_branch, step_branch, (state, action))
+
+    def step(self, state: EnvState, action):
+        """One environment transition plus observation (single env)."""
+        new_state, ts = self.transition(state, action)
+        # One render of the post-transition state serves both branches; the
+        # success flag re-derives cheaply from the task.
+        success = self._task.success(new_state.factors, new_state.num_sprites)
+        obs = self.observation(
+            new_state.factors, new_state.num_sprites, success)
+        return new_state, ts.replace(observation=obs)
+
+    # ------------------------------------------------------------------ #
+    # Batched transition functions (leading env-batch axis). These are the
+    # fast paths: the state transition vmaps, while observations render
+    # through each renderer's `render_batch` (the Pallas image kernel packs
+    # several scenes per program there).
+    # ------------------------------------------------------------------ #
+    def observation_batch(self, factors, num_sprites, success):
+        return {name: r.render_batch(factors, num_sprites, success)
+                for name, r in self._renderers.items()}
+
+    def step_batch(self, state: EnvState, actions):
+        """Batched step: state pytree and actions carry a leading B axis."""
+        new_state, ts = jax.vmap(self.transition)(state, actions)
+        success = jax.vmap(self._task.success)(
+            new_state.factors, new_state.num_sprites)
+        obs = self.observation_batch(
+            new_state.factors, new_state.num_sprites, success)
+        return new_state, ts.replace(observation=obs)
+
+    def reset_batch(self, keys):
+        """Batched reset from a [B] batch of PRNG keys."""
+        state = jax.vmap(self._fresh)(keys)
+        success = jax.vmap(self._task.success)(
+            state.factors, state.num_sprites)
+        obs = self.observation_batch(
+            state.factors, state.num_sprites, success)
+        b = keys.shape[0]
+        ts = TimeStep(
+            step_type=jnp.full((b,), StepType.FIRST, jnp.int32),
+            reward=jnp.zeros((b,), jnp.float32),
+            discount=jnp.ones((b,), jnp.float32),
+            observation=obs)
+        return state, ts
 
     def initial_state(self, key) -> EnvState:
         """State equivalent to a freshly constructed reference Environment.
@@ -204,8 +256,8 @@ class BatchedEnvironment:
         self.num_envs = int(num_envs)
         self._sharding = sharding
 
-        reset_fn = jax.vmap(env.reset)
-        step_fn = jax.vmap(env.step)
+        reset_fn = env.reset_batch
+        step_fn = env.step_batch
         if sharding is not None:
             self._reset = jax.jit(reset_fn, out_shardings=(sharding, sharding))
             self._step = jax.jit(

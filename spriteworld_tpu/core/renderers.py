@@ -42,6 +42,14 @@ class AbstractRenderer:
     def render(self, factors, num_sprites, success):
         raise NotImplementedError
 
+    def render_batch(self, factors, num_sprites, success):
+        """Batched render: factors[B, K, F], num[B], success[B].
+
+        Default is a vmap of `render`; renderers with a dedicated batched
+        fast path (the Pallas image kernel) override this.
+        """
+        return jax.vmap(self.render)(factors, num_sprites, success)
+
     def observation_spec(self):
         raise NotImplementedError
 
@@ -129,12 +137,25 @@ class ImageRenderer(AbstractRenderer):
                  bg_color: Optional[Tuple[int, int, int]] = None,
                  color_to_rgb: Union[None, str, Callable] = None,
                  use_pallas: Union[bool, str] = "auto",
-                 pil_exact: bool = True):
+                 pil_exact: Union[bool, str] = "auto"):
+        """pil_exact="auto" uses the bit-exact PIL scanline fill at
+        anti_aliasing=1 (the mode where bit parity with the reference is
+        defined) and centroid sampling at anti_aliasing>1, where sub-pixel
+        fill differences vanish into the box average anyway (PIL's Lanczos
+        downsample already differs there; the reference's own tests only
+        bound AA>1 output, pil_renderer_test.py:68-72) — centroid is ~4x
+        faster. Pass True/False to force a fill."""
         self._image_size = tuple(image_size)
         self._anti_aliasing = int(anti_aliasing)
+        if self._anti_aliasing < 1 or min(self._image_size) < 1:
+            raise ValueError(
+                f"image_size {image_size} and anti_aliasing {anti_aliasing} "
+                "must be positive.")
         self._bg_color = bg_color
         self._color_to_rgb = _resolve_color_map(color_to_rgb)
         self._use_pallas = use_pallas
+        if pil_exact == "auto":
+            pil_exact = self._anti_aliasing == 1
         self._pil_exact = bool(pil_exact)
 
     @property
@@ -143,7 +164,13 @@ class ImageRenderer(AbstractRenderer):
 
     def _pallas_enabled(self) -> bool:
         if self._use_pallas == "auto":
-            return jax.default_backend() == "tpu"
+            # Measured on v5e: the Pallas kernel wins on big supersampled
+            # canvases (count-limited edge loops + row skipping); on small
+            # ones (anti_aliasing=1) XLA's fully-fused brute force wins and
+            # fuses into the surrounding step program.
+            h, w = self._image_size
+            big_canvas = h * w * self._anti_aliasing ** 2 > 16384
+            return jax.default_backend() == "tpu" and big_canvas
         return bool(self._use_pallas)
 
     def render(self, factors, num_sprites, success):
@@ -165,6 +192,26 @@ class ImageRenderer(AbstractRenderer):
             bg_color=self._bg_color,
             color_to_rgb=self._color_to_rgb,
             pil_exact=self._pil_exact)
+
+    def render_batch(self, factors, num_sprites, success):
+        del success
+        if self._pallas_enabled():
+            from spriteworld_tpu.ops import rasterize_pallas
+
+            return rasterize_pallas.render_rgb_batch(
+                factors, num_sprites,
+                image_size=self._image_size,
+                anti_aliasing=self._anti_aliasing,
+                bg_color=self._bg_color,
+                color_to_rgb=self._color_to_rgb,
+                pil_exact=self._pil_exact)
+        return jax.vmap(lambda f, n: rasterize.render_rgb(
+            f, n,
+            image_size=self._image_size,
+            anti_aliasing=self._anti_aliasing,
+            bg_color=self._bg_color,
+            color_to_rgb=self._color_to_rgb,
+            pil_exact=self._pil_exact))(factors, num_sprites)
 
     def observation_spec(self):
         return jax.ShapeDtypeStruct(

@@ -94,42 +94,53 @@ def _pil_polygon_mask(verts_c, count, hc: int, wc: int):
     dy = jnp.where(y1 == y0, 1.0, y1 - y0)
     xi = x0 + (rows - y0) * ((x1 - x0) / dy)  # [H, V]
     dup = inr & (rows == ymax_e) & (ymax_e < gymax)
-    w = inr.astype(jnp.int32) + dup.astype(jnp.int32)  # instance weights
+    # Instance weights/counts accumulate in f32: the values are tiny
+    # integers (exact in f32) and TPU VPU f32 multiplies are ~6x faster
+    # than the emulated i32 multiplies (measured on v5e).
+    w = inr.astype(jnp.float32) + dup.astype(jnp.float32)
 
     total = w.sum(axis=1)  # [H]
-    odd_total = (total % 2) == 1
+    odd_total = jnp.mod(total, 2.0) == 1.0
     rowmax = jnp.max(jnp.where(w > 0, xi, -big), axis=1)  # [H]
 
     # Counts per pixel; [H, V, W] intermediates fuse into the reductions.
+    # The two thresholds share comparisons: win-window = b & ~a.
     xi_b = xi[:, :, None]
     w_b = w[:, :, None]
-    le = (w_b * (xi_b <= cols[None] - 0.5)).sum(axis=1)  # [H, W]
-    win = (w_b * ((xi_b > cols[None] - 0.5)
-                  & (xi_b < cols[None] + 0.5))).sum(axis=1)
+    a = xi_b <= cols[None] - 0.5
+    b = xi_b < cols[None] + 0.5
+    le = (w_b * a).sum(axis=1)  # [H, W]
+    win = (w_b * (b & ~a)).sum(axis=1)
     # Odd-count trim: drop one instance of the row max.
     rm = rowmax[:, None]
-    le = le - (odd_total[:, None] & (rm <= cols - 0.5)).astype(jnp.int32)
+    le = le - (odd_total[:, None] & (rm <= cols - 0.5)).astype(jnp.float32)
     win = win - (odd_total[:, None] & (rm > cols - 0.5)
-                 & (rm < cols + 0.5)).astype(jnp.int32)
-    fill = ((le % 2) == 1) | (win > 0)
+                 & (rm < cols + 0.5)).astype(jnp.float32)
+    fill = (jnp.mod(le, 2.0) == 1.0) | (win > 0)
 
     # --- horizontal edges --------------------------------------------- #
     hx_lo = jnp.minimum(x0, x1)
     hx_hi = jnp.maximum(x0, x1)
     hfill = (horiz[None, :, None]
-             & (rows[:, None, :] == y0[None, :, None])
-             & (hx_lo[None, :, None] < cols[None] + 0.5)
-             & (hx_hi[None, :, None] > cols[None] - 0.5)).any(axis=1)
+             & (rows[:, None] == y0[None, :, None])
+             & (hx_lo[None, :, None] < cols[:, None] + 0.5)
+             & (hx_hi[None, :, None] > cols[:, None] - 0.5)).any(axis=1)
 
     # --- wedge extensions at vertices --------------------------------- #
     # Geometric neighbors skip consecutive duplicate (truncation-collided)
-    # points, searched over a window of 3.
+    # points, searched over a window of 3. The indexed reads go through a
+    # one-hot contraction: TPU lowers tiny dynamic gathers catastrophically
+    # (measured ~19us/frame via take_along_axis vs ~0 via one-hot).
+    def take1(arr, j):
+        onehot = (j[:, None] == idx[None, :]).astype(arr.dtype)
+        return onehot @ arr
+
     def neighbor(direction):
         nx, ny, found = (jnp.zeros(vmax), jnp.zeros(vmax),
                          jnp.zeros(vmax, bool))
         for step in (1, 2, 3):
             j = jnp.mod(idx + direction * step, jnp.maximum(count, 1))
-            cx, cy = x0[j], y0[j]
+            cx, cy = take1(x0, j), take1(y0, j)
             differs = (cx != x0) | (cy != y0)
             take = (~found) & differs
             nx = jnp.where(take, cx, nx)
@@ -157,9 +168,9 @@ def _pil_polygon_mask(verts_c, count, hc: int, wc: int):
     hi = jnp.where(right_side, _round_half_up(min_u) - 1.0,
                    jnp.where(left_side, vx, -big))
     wfill = (active[None, :, None]
-             & (rows[:, None, :] == vy[None, :, None])
-             & (cols[None] >= lo[None, :, None])
-             & (cols[None] <= hi[None, :, None])).any(axis=1)
+             & (rows[:, None] == vy[None, :, None])
+             & (cols[:, None] >= lo[None, :, None])
+             & (cols[:, None] <= hi[None, :, None])).any(axis=1)
 
     return fill | hfill | wfill
 

@@ -7,31 +7,37 @@ down to `image_size`, flip vertically to math coordinates.
 
 Why a kernel instead of the XLA formulation (ops/rasterize.py):
 
-  * **Data-dependent skipping.** Each sprite only covers ~scale^2 of the
-    canvas. The kernel grid walks supersampled row strips and skips a sprite
-    entirely (`pl.when`) when the strip misses the sprite's row range or the
-    sprite slot is dead — a per-example, per-strip decision XLA cannot make
-    (it would need dynamic shapes). Typical scenes skip 70-90% of the
-    fill work.
-  * **VMEM residency.** The supersampled RGB planes (e.g. 320x320x3 f32 at
-    64x64/AA=5 = 1.2 MB) live in VMEM scratch across the whole sprite loop
-    and are reduced to the final image before anything returns to HBM; only
-    the H*W*3 result is written out.
-  * **Downsample as matmul.** The box filter + vertical flip is two tiny f32
-    matmuls per channel (L @ plane @ R) on the MXU, fused with the fill.
+  * **Count-limited edge work.** XLA must test every pixel against all
+    MAX_VERTICES=30 padded edges of every sprite slot; the kernel's edge
+    loop is statically unrolled and each edge is predicated on the sprite's
+    true edge count (`pl.when`) — a triangle pays for 3 edges, not 30 —
+    and dead sprite slots and out-of-strip sprites are skipped whole.
+    Measured on v5e, per-edge CONTROL overhead (dynamic fori_loop trips,
+    scalar-field extraction, loop-carry copies) dominated every dynamic
+    variant of this kernel; the static unroll turns all field reads into
+    compile-time SMEM addresses and all accumulation into scratch-register
+    updates.
+  * **Rare-feature gating.** Horizontal-edge fills and vertex "wedges" of
+    Pillow's scanline algorithm only exist on a few sprites (axis-aligned
+    squares, unlucky truncations); whole per-sprite feature loops are
+    branch-skipped via precomputed feature counts.
+  * **VMEM residency.** The supersampled RGB planes live in VMEM scratch
+    across the whole sprite loop; only the final H*W*3 image leaves. The
+    box filter + vertical flip is folded into two small f32 matmuls (MXU).
 
 Both fill modes of the XLA rasterizer are implemented:
 
   * `pil_exact=True`: Pillow's integer scanline fill in the sort-free
-    per-pixel formulation (see ops/rasterize.py docstring) — bit parity with
-    the XLA path, hence with PIL at anti_aliasing=1. All per-edge and
-    per-vertex constants (truncated endpoints, slopes, wedge intervals) are
-    precomputed in XLA; the kernel does only the per-(row, pixel) work.
-  * `pil_exact=False`: even-odd crossing test at pixel centers.
+    per-pixel formulation (see ops/rasterize.py) — bit parity with the XLA
+    path, hence with PIL at anti_aliasing=1.
+  * `pil_exact=False`: even-odd crossing test at pixel centers (~3x
+    cheaper; at anti_aliasing>1 the subpixel differences vanish into the
+    box average — the tolerance class the reference's own AA tests accept,
+    tests/renderers/pil_renderer_test.py:68-72).
 
-The kernel is shape-specialized per (image_size, anti_aliasing, max_sprites)
-— all static at trace time — and batches over environments via vmap's
-pallas_call batching rule (the env batch becomes the leading grid dimension).
+All shapes are static at trace time. `render_rgb_batch(factors[B, K, 10],
+num_sprites[B])` is the fast path (the batch is a grid dimension); the
+unbatched `render_rgb` wraps it and also supports vmap.
 """
 
 from __future__ import annotations
@@ -52,18 +58,19 @@ from spriteworld_tpu.ops import geometry
 _COUNTS_HOST = constants.VERTEX_COUNTS
 _BIG = 1e9
 
-# Edge-table field indices (packed [K, V, NE] so the kernel reads one edge as
-# a vector with a dynamic sublane index — lane indices stay static).
+# Edge-table field indices (packed [..., V, NE]; the kernel reads fields as
+# scalar SMEM loads at static addresses).
 _E_Y0, _E_Y1, _E_X0, _E_M, _E_SLANT, _E_YMIN, _E_YMAX, _E_HORIZ, \
     _E_HLO, _E_HHI = range(10)
 _NE = 10
 
-# Wedge-table fields (pil_exact only; per polygon vertex, precomputed in XLA).
+# Wedge-table fields (pil_exact only; per polygon vertex).
 _W_ROW, _W_LO, _W_HI, _W_ACTIVE = range(4)
 _NW = 4
 
 
 def _round_half_up(f):
+    """Pillow ROUND_UP: round half away from zero (positive domain)."""
     return jnp.floor(f + 0.5)
 
 
@@ -71,10 +78,12 @@ def _build_edge_tables(verts_c, counts, pil_exact: bool):
     """Per-edge constants [K, V, _NE], wedge table [K, V, _NW], gymax [K].
 
     verts_c: f32[K, V, 2] canvas-space vertices (padding repeats vertex 0,
-    so padded edges are degenerate and never straddle a scanline).
+    so padded edges are degenerate and never straddle a scanline). Padded
+    edges get neutral fields (slant=horiz=0, inverted y-range) so loops may
+    safely overrun into padding.
     """
     v = jnp.trunc(verts_c) if pil_exact else verts_c
-    k, vmax = v.shape[0], v.shape[1]
+    vmax = v.shape[-2]
     idx = jnp.arange(vmax)
     x0, y0 = v[..., 0], v[..., 1]
     x1 = jnp.roll(x0, -1, axis=-1)
@@ -90,19 +99,24 @@ def _build_edge_tables(verts_c, counts, pil_exact: bool):
     gymax = jnp.max(jnp.where(valid, ymax_e, -_BIG), axis=-1)  # [K]
 
     edges = jnp.stack([
-        y0, y1, x0, m,
+        y0,
+        # Invalid edges (incl. all edges of dead slots) get y1 := y0 so the
+        # centroid straddle test is degenerate without extra masking.
+        jnp.where(valid, y1, y0),
+        x0, m,
         slant.astype(jnp.float32),
-        jnp.where(slant, ymin_e, _BIG),     # row-range guards: dead edges
-        jnp.where(slant, ymax_e, -_BIG),    # never enter the fill sum
+        jnp.where(slant, ymin_e, _BIG),
+        jnp.where(slant, ymax_e, -_BIG),
         horiz.astype(jnp.float32),
         jnp.minimum(x0, x1), jnp.maximum(x0, x1),
     ], axis=-1)  # [K, V, _NE]
 
     if not pil_exact:
-        return edges, None, gymax
+        return edges, jnp.zeros(edges.shape[:-2] + (vmax, _NW),
+                                jnp.float32), gymax
 
     # Wedge extensions at one-sided top vertices / global-bottom vertices
-    # (pure per-vertex geometry -> precompute here, kernel only row-matches).
+    # (pure per-vertex geometry -> precomputed; kernel only row-matches).
     def neighbor(direction):
         nx = jnp.zeros_like(x0)
         ny = jnp.zeros_like(y0)
@@ -146,11 +160,11 @@ def _build_edge_tables(verts_c, counts, pil_exact: bool):
 
 
 def _downsample_mats(strip_out: int, aa: int, wc: int, w: int):
-    """Vertical (flip folded in) and horizontal box-average matrices."""
+    """Vertical box-average with in-strip flip, and horizontal box-average."""
     sh = strip_out * aa
     l = np.zeros((strip_out, sh), np.float32)
     for o in range(strip_out):
-        src = (strip_out - 1 - o) * aa  # vertical flip within the strip
+        src = (strip_out - 1 - o) * aa
         l[o, src:src + aa] = 1.0 / aa
     r = np.zeros((wc, w), np.float32)
     for c in range(w):
@@ -158,148 +172,210 @@ def _downsample_mats(strip_out: int, aa: int, wc: int, w: int):
     return l, r
 
 
-def _fill_kernel(num_ref, counts_ref, rowrange_ref, gymax_ref,  # SMEM
-                 edges_ref, wedges_ref, colors_ref, l_ref, r_ref,  # VMEM
-                 out_ref, planes_ref,  # out + scratch [3, S, WC]
-                 *, max_sprites: int, max_vertices: int, strip_rows: int,
-                 wc: int, pil_exact: bool, bg: Tuple[float, float, float]):
-    """One program = one supersampled row strip of one scene."""
-    # SMEM inputs carry a leading singleton axis so their blocks satisfy
-    # Mosaic's tiling rule both standalone and under vmap batching.
-    strip = pl.program_id(0)
+def _fill_kernel(counts_ref, nh_ref, nw_ref, rowrange_ref, gymax_ref,
+                 edges_ref, wedges_ref, colors_ref,  # all SMEM
+                 l_ref, r_ref,  # VMEM
+                 out_ref,
+                 planes_ref, fill_ref,  # VMEM scratch
+                 *, num_slots: int, max_vertices: int, strip_rows: int,
+                 num_strips_static: int, wc: int, pil_exact: bool,
+                 bg: Tuple[float, float, float], unroll: bool = True):
+    """One program = one canvas row strip of one scene.
+
+    With `unroll=True` (the TPU path) the edge loops are statically
+    unrolled; every per-edge block is predicated on `v < count` so only
+    live edges execute, while all SMEM field reads use compile-time
+    addresses — measured, per-edge control overhead (dynamic loop trips,
+    carry copies, computed addresses) dominated every dynamic variant.
+    Accumulators that must cross predicated blocks live in VMEM scratch.
+    `unroll=False` runs the same edge math in a fori_loop with carries
+    (used by the interpreter, where a 700-block unroll is impractical).
+    """
+    strip = pl.program_id(1)
     row0 = (strip * strip_rows).astype(jnp.float32)
-    # Row coordinate per fill mode: PIL scanlines index integer rows; the
-    # centroid test samples pixel centers.
     half = 0.0 if pil_exact else 0.5
     rows = row0 + jax.lax.broadcasted_iota(
         jnp.int32, (strip_rows, 1), 0).astype(jnp.float32) + half
     cols = jax.lax.broadcasted_iota(
         jnp.int32, (strip_rows, wc), 1).astype(jnp.float32) + half
+    colsm = cols - 0.5
+    colsp = cols + 0.5
 
     for c in range(3):
         planes_ref[c] = jnp.full((strip_rows, wc), bg[c], jnp.float32)
 
-    num = num_ref[0, 0]
-    for k in range(max_sprites):
-        live = k < num
+    for k in range(num_slots):
+        # counts is zeroed for dead slots in XLA, so liveness == count > 0.
+        count = counts_ref[0, 0, k]
         hit = ((rowrange_ref[0, k, 0] <= strip * strip_rows + strip_rows - 1)
                & (rowrange_ref[0, k, 1] >= strip * strip_rows))
 
-        @pl.when(live & hit)
-        def _paint(k=k):
-            count = counts_ref[0, k]
+        # Shared per-edge math (v may be a Python int or a traced index;
+        # SMEM scalar loads accept both).
+        def exact_terms(k, v, gymax):
+            e_y0 = edges_ref[0, k, v, _E_Y0]
+            e_ymax = edges_ref[0, k, v, _E_YMAX]
+            inr = (edges_ref[0, k, v, _E_SLANT] > 0.0) \
+                & (rows >= edges_ref[0, k, v, _E_YMIN]) \
+                & (rows <= e_ymax)  # [S, 1]
+            xi = edges_ref[0, k, v, _E_X0] \
+                + (rows - e_y0) * edges_ref[0, k, v, _E_M]
+            dup = inr & (rows == e_ymax) & (e_ymax < gymax)
+            # f32 weights: tiny exact integers, and VPU f32 multiplies are
+            # ~6x faster than emulated i32 multiplies (measured on v5e).
+            wgt = inr.astype(jnp.float32) + dup.astype(jnp.float32)
+            a = xi <= colsm
+            b = xi < colsp
+            return wgt, xi, a, b
 
-            if pil_exact:
-                gymax = gymax_ref[0, k]
+        def centroid_term(k, v):
+            e_y0 = edges_ref[0, k, v, _E_Y0]
+            straddle = (e_y0 > rows) != (edges_ref[0, k, v, _E_Y1] > rows)
+            xi = edges_ref[0, k, v, _E_X0] \
+                + (rows - e_y0) * edges_ref[0, k, v, _E_M]
+            return (straddle & (cols < xi)).astype(jnp.int32)
 
-                # Loop carries must be i32/f32 vectors — Mosaic cannot carry
-                # i1 vectors through scf.for.
-                def edge_body(v, carry):
-                    le, win, total, rowmax, hfill = carry
-                    e = edges_ref[k, v]
-                    inr = (e[_E_SLANT] > 0.0) & (rows >= e[_E_YMIN]) \
-                        & (rows <= e[_E_YMAX])  # [S, 1]
-                    xi = e[_E_X0] + (rows - e[_E_Y0]) * e[_E_M]
-                    dup = inr & (rows == e[_E_YMAX]) & (e[_E_YMAX] < gymax)
-                    wgt = inr.astype(jnp.int32) + dup.astype(jnp.int32)
-                    le = le + wgt * (xi <= cols - 0.5).astype(jnp.int32)
-                    win = win + wgt * ((xi > cols - 0.5)
-                                       & (xi < cols + 0.5)).astype(jnp.int32)
+        def horiz_term(k, v):
+            return ((edges_ref[0, k, v, _E_HORIZ] > 0.0)
+                    & (rows == edges_ref[0, k, v, _E_Y0])
+                    & (edges_ref[0, k, v, _E_HLO] < colsp)
+                    & (edges_ref[0, k, v, _E_HHI] > colsm)
+                    ).astype(jnp.int32)
+
+        def wedge_term(k, v):
+            return ((wedges_ref[0, k, v, _W_ACTIVE] > 0.0)
+                    & (rows == wedges_ref[0, k, v, _W_ROW])
+                    & (cols >= wedges_ref[0, k, v, _W_LO])
+                    & (cols <= wedges_ref[0, k, v, _W_HI])
+                    ).astype(jnp.int32)
+
+        def trim(le, win, total, rowmax):
+            odd = jnp.mod(total, 2.0) == 1.0  # [S, 1]
+            le = le - (odd & (rowmax <= colsm)).astype(jnp.float32)
+            win = win - (odd & (rowmax > colsm)
+                         & (rowmax < colsp)).astype(jnp.float32)
+            return ((jnp.mod(le, 2.0) == 1.0) | (win > 0)).astype(jnp.int32)
+
+        def paint(k):
+            count = counts_ref[0, 0, k]
+
+            if pil_exact and unroll:
+                # Full static unroll with SSA accumulators. Padded/dead
+                # edges have neutral fields, so no per-edge predication is
+                # needed (measured: predication + scratch-ref accumulation
+                # costs more than the padded edges' vector work).
+                gymax = gymax_ref[0, 0, k]
+                zero_f = jnp.zeros((strip_rows, wc), jnp.float32)
+                le, win = zero_f, zero_f
+                total = jnp.zeros((strip_rows, 1), jnp.float32)
+                rowmax = jnp.full((strip_rows, 1), -_BIG, jnp.float32)
+                for v in range(max_vertices):
+                    wgt, xi, a, b = exact_terms(k, v, gymax)
+                    le = le + wgt * a.astype(jnp.float32)
+                    win = win + wgt * (b & ~a).astype(jnp.float32)
                     total = total + wgt
-                    rowmax = jnp.maximum(rowmax, jnp.where(wgt > 0, xi, -_BIG))
-                    hfill = hfill | ((e[_E_HORIZ] > 0.0) & (rows == e[_E_Y0])
-                                     & (e[_E_HLO] < cols + 0.5)
-                                     & (e[_E_HHI] > cols - 0.5)
-                                     ).astype(jnp.int32)
-                    return le, win, total, rowmax, hfill
+                    rowmax = jnp.maximum(
+                        rowmax, jnp.where(wgt > 0, xi, -_BIG))
+                fill_ref[...] = trim(le, win, total, rowmax)
 
-                zero_i = jnp.zeros((strip_rows, wc), jnp.int32)
-                le, win, total, rowmax, hfill = jax.lax.fori_loop(
+                # Horizontal edges / vertex wedges are rare: whole loops
+                # are skipped per sprite via precomputed feature counts
+                # (hence the fill_ref round-trip for the mask).
+                @pl.when(nh_ref[0, 0, k] > 0)
+                def _horiz(k=k):
+                    for v in range(max_vertices):
+                        fill_ref[...] = fill_ref[...] | horiz_term(k, v)
+
+                @pl.when(nw_ref[0, 0, k] > 0)
+                def _wedges(k=k):
+                    for v in range(max_vertices):
+                        fill_ref[...] = fill_ref[...] | wedge_term(k, v)
+                mask = fill_ref[...] > 0
+            elif pil_exact:
+                gymax = gymax_ref[0, 0, k]
+
+                def edge_body(v, carry):
+                    le, win, total, rowmax = carry
+                    wgt, xi, a, b = exact_terms(k, v, gymax)
+                    return (le + wgt * a.astype(jnp.float32),
+                            win + wgt * (b & ~a).astype(jnp.float32),
+                            total + wgt,
+                            jnp.maximum(rowmax,
+                                        jnp.where(wgt > 0, xi, -_BIG)))
+
+                zero_f = jnp.zeros((strip_rows, wc), jnp.float32)
+                le, win, total, rowmax = jax.lax.fori_loop(
                     0, count, edge_body,
-                    (zero_i, zero_i, jnp.zeros((strip_rows, 1), jnp.int32),
-                     jnp.full((strip_rows, 1), -_BIG, jnp.float32),
-                     zero_i))
-
-                odd = (total % 2) == 1  # [S, 1]
-                le = le - (odd & (rowmax <= cols - 0.5)).astype(jnp.int32)
-                win = win - (odd & (rowmax > cols - 0.5)
-                             & (rowmax < cols + 0.5)).astype(jnp.int32)
-                filled = (((le % 2) == 1) | (win > 0)).astype(jnp.int32) \
-                    | hfill
-
-                def wedge_body(v, acc):
-                    wv = wedges_ref[k, v]
-                    return acc | ((wv[_W_ACTIVE] > 0.0)
-                                  & (rows == wv[_W_ROW])
-                                  & (cols >= wv[_W_LO])
-                                  & (cols <= wv[_W_HI])).astype(jnp.int32)
-
-                mask = jax.lax.fori_loop(0, count, wedge_body, filled) > 0
-            else:
-                def edge_body(v, parity):
-                    e = edges_ref[k, v]
-                    straddle = (e[_E_Y0] > rows) != (e[_E_Y1] > rows)
-                    xi = e[_E_X0] + (rows - e[_E_Y0]) * e[_E_M]
-                    return parity ^ (straddle & (cols < xi)).astype(jnp.int32)
-
+                    (zero_f, zero_f, jnp.zeros((strip_rows, 1), jnp.float32),
+                     jnp.full((strip_rows, 1), -_BIG, jnp.float32)))
+                filled = trim(le, win, total, rowmax)
+                filled = jax.lax.fori_loop(
+                    0, count, lambda v, f: f | horiz_term(k, v), filled)
                 mask = jax.lax.fori_loop(
-                    0, count, edge_body,
+                    0, count, lambda v, f: f | wedge_term(k, v), filled) > 0
+            elif unroll:
+                parity = jnp.zeros((strip_rows, wc), jnp.int32)
+                for v in range(max_vertices):
+                    parity = parity ^ centroid_term(k, v)
+                mask = parity > 0
+            else:
+                mask = jax.lax.fori_loop(
+                    0, count, lambda v, p: p ^ centroid_term(k, v),
                     jnp.zeros((strip_rows, wc), jnp.int32)) > 0
 
             for c in range(3):
                 planes_ref[c] = jnp.where(
-                    mask, colors_ref[k, c], planes_ref[c])
+                    mask, colors_ref[0, k, c], planes_ref[c])
 
-    # Box downsample + vertical flip (folded into l) on the MXU.
+        if num_strips_static > 1:
+            # Strips benefit from skipping sprites whose rows miss them.
+            @pl.when((count > 0) & hit)
+            def _gated(k=k):
+                paint(k)
+        else:
+            paint(k)
+
+    # Box downsample + vertical flip (folded into L) on the MXU.
     lm = l_ref[...]
     rm = r_ref[...]
     for c in range(3):
-        half = jax.lax.dot_general(
+        half_ds = jax.lax.dot_general(
             lm, planes_ref[c], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        out_ref[c] = jax.lax.dot_general(
-            half, rm, (((1,), (0,)), ((), ())),
+        out_ref[0, c] = jax.lax.dot_general(
+            half_ds, rm, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
 
-@functools.partial(
-    jax.jit, static_argnames=(
-        "image_size", "anti_aliasing", "bg_color", "color_to_rgb",
-        "pil_exact", "interpret"))
-def render_rgb(factors: jnp.ndarray,
-               num_sprites: jnp.ndarray,
-               *,
-               image_size: Tuple[int, int] = (64, 64),
-               anti_aliasing: int = 1,
-               bg_color: Optional[Tuple[int, int, int]] = None,
-               color_to_rgb: Optional[Callable] = None,
-               pil_exact: bool = True,
-               interpret="auto") -> jnp.ndarray:
-    """Render one scene to u8[H, W, 3] via the Pallas TPU kernel.
+def _pick_strip(h: int, aa: int, wc: int) -> int:
+    """Output rows per program: ~32K supersampled pixels per strip.
 
-    Identical contract to rasterize.render_rgb; `interpret` runs the kernel
-    in the Pallas interpreter ("auto" = interpret everywhere except on a
-    real TPU backend, so the public path works on CPU hosts too).
+    Big canvases split into strips (bounded VMEM + per-sprite row
+    skipping); small ones render whole-frame. Mosaic needs the output block
+    sublane dim to be a multiple of 8 or to span the array.
     """
-    if interpret == "auto":
-        interpret = jax.default_backend() != "tpu"
-    h, w = image_size
-    aa = int(anti_aliasing)
-    hc, wc = h * aa, w * aa
+    if h % 8 != 0:
+        return h
+    strip_out = 8
+    for cand in (64, 32, 16):
+        if h % cand == 0 and cand * aa * wc <= 32768:
+            strip_out = cand
+            break
+    if h * aa * wc <= 32768:
+        strip_out = h
+    return strip_out
 
-    # Strip sizing: 8 output rows per program (a full f32 sublane tile).
-    # Mosaic requires output blocks whose sublane dim is a multiple of 8 or
-    # spans the whole array, so odd heights fall back to a single strip.
-    strip_out = 8 if h % 8 == 0 else h
-    strip_rows = strip_out * aa
-    num_strips = hc // strip_rows
 
-    verts_w = geometry.world_vertices(factors)  # [K, V, 2] world
+def _prepare(factors, num_sprites, hc, wc, color_to_rgb, pil_exact):
+    """XLA-side per-scene precomputation (vmapped over the batch)."""
+    verts_w = geometry.world_vertices(factors)
     verts_c = verts_w * jnp.asarray([wc, hc], jnp.float32)
-    k = factors.shape[0]
-    vmax = verts_c.shape[1]
     shape_ids = factors[:, state_lib.SHAPE].astype(jnp.int32)
-    counts = jnp.asarray(_COUNTS_HOST)[shape_ids]
+    k = factors.shape[0]
+    live = jnp.arange(k) < num_sprites
+    # Dead slots get count 0: their edges turn neutral and the kernel skips
+    # them without a separate liveness flag.
+    counts = jnp.where(live, jnp.asarray(_COUNTS_HOST)[shape_ids], 0)
 
     colors = factors[:, 5:8]
     if color_to_rgb is not None:
@@ -307,63 +383,117 @@ def render_rgb(factors: jnp.ndarray,
     colors = jnp.clip(colors, 0, 255).astype(jnp.uint8).astype(jnp.float32)
 
     edges, wedges, gymax = _build_edge_tables(verts_c, counts, pil_exact)
-    if wedges is None:
-        wedges = jnp.zeros((k, vmax, _NW), jnp.float32)
+    nh = edges[..., _E_HORIZ].astype(jnp.int32).sum(-1)
+    nw = wedges[..., _W_ACTIVE].astype(jnp.int32).sum(-1)
 
-    # Per-sprite canvas row range for strip skipping. The PIL fill touches
-    # exactly rows [trunc(ymin), trunc(ymax)]; pad one row for wedge rows and
-    # centroid sampling.
     ys = verts_c[..., 1]
+    vmax = verts_c.shape[-2]
     vidx = jnp.arange(vmax)[None, :] < counts[:, None]
     ymin = jnp.min(jnp.where(vidx, ys, _BIG), axis=-1)
     ymax = jnp.max(jnp.where(vidx, ys, -_BIG), axis=-1)
     rowrange = jnp.stack(
         [jnp.floor(ymin) - 1.0, jnp.ceil(ymax) + 1.0],
-        axis=-1).astype(jnp.int32)  # [K, 2]
+        axis=-1).astype(jnp.int32)
+
+    return edges, wedges, gymax, rowrange, counts, nh, nw, colors
+
+
+@functools.partial(
+    jax.jit, static_argnames=(
+        "image_size", "anti_aliasing", "bg_color", "color_to_rgb",
+        "pil_exact", "interpret"))
+def render_rgb_batch(factors: jnp.ndarray,
+                     num_sprites: jnp.ndarray,
+                     *,
+                     image_size: Tuple[int, int] = (64, 64),
+                     anti_aliasing: int = 1,
+                     bg_color: Optional[Tuple[int, int, int]] = None,
+                     color_to_rgb: Optional[Callable] = None,
+                     pil_exact: bool = True,
+                     interpret="auto") -> jnp.ndarray:
+    """Render a batch of scenes to u8[B, H, W, 3] (math orientation).
+
+    factors: f32[B, K, 10]; num_sprites: i32[B]. `interpret="auto"` runs
+    the Pallas interpreter off-TPU so the path works everywhere.
+    """
+    if interpret == "auto":
+        interpret = jax.default_backend() != "tpu"
+    h, w = image_size
+    aa = int(anti_aliasing)
+    hc, wc = h * aa, w * aa
+    b, k, _ = factors.shape
+
+    strip_out = _pick_strip(h, aa, wc)
+    strip_rows = strip_out * aa
+    num_strips = hc // strip_rows
+
+    edges, wedges, gymax, rowrange, counts, nh, nw, colors = jax.vmap(
+        lambda f, n: _prepare(f, n, hc, wc, color_to_rgb, pil_exact)
+    )(factors, num_sprites)
+    vmax = edges.shape[2]
 
     l_host, r_host = _downsample_mats(strip_out, aa, wc, w)
     bg = tuple(float(c) for c in (bg_color or (0, 0, 0)))
 
+    # Loop strategy (measured on v5e): small canvases are control-bound —
+    # fully unroll (padded edges are neutral and nearly free); multi-strip
+    # big canvases are vector-bound — a count-limited fori_loop plus
+    # per-sprite row skipping wins there. Interpreter always uses fori.
+    unroll = (not interpret) and num_strips == 1
     kernel = functools.partial(
-        _fill_kernel, max_sprites=k, max_vertices=vmax,
-        strip_rows=strip_rows, wc=wc, pil_exact=pil_exact, bg=bg)
+        _fill_kernel, num_slots=k, max_vertices=vmax,
+        strip_rows=strip_rows, num_strips_static=num_strips, wc=wc,
+        pil_exact=pil_exact, bg=bg, unroll=unroll)
 
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    scratch_i32 = pltpu.VMEM((strip_rows, wc), jnp.int32)
 
     out = pl.pallas_call(
         kernel,
-        grid=(num_strips,),
+        grid=(b, num_strips),
         in_specs=[
-            smem((1, 1), lambda s: (0, 0)),        # num_sprites
-            smem((1, k), lambda s: (0, 0)),        # counts
-            smem((1, k, 2), lambda s: (0, 0, 0)),  # rowrange
-            smem((1, k), lambda s: (0, 0)),        # gymax
-            vmem((k, vmax, _NE), lambda s: (0, 0, 0)),   # edges
-            vmem((k, vmax, _NW), lambda s: (0, 0, 0)),   # wedges
-            vmem((k, 3), lambda s: (0, 0)),        # colors
-            vmem((strip_out, strip_rows), lambda s: (0, 0)),  # L (flip)
-            vmem((wc, w), lambda s: (0, 0)),       # R
+            smem((1, 1, k), lambda b_, s: (b_, 0, 0)),        # counts
+            smem((1, 1, k), lambda b_, s: (b_, 0, 0)),        # nh
+            smem((1, 1, k), lambda b_, s: (b_, 0, 0)),        # nw
+            smem((1, k, 2), lambda b_, s: (b_, 0, 0)),        # rowrange
+            smem((1, 1, k), lambda b_, s: (b_, 0, 0)),        # gymax
+            smem((1, k, vmax, _NE),
+                 lambda b_, s: (b_, 0, 0, 0)),                # edges
+            smem((1, k, vmax, _NW),
+                 lambda b_, s: (b_, 0, 0, 0)),                # wedges
+            smem((1, k, 3), lambda b_, s: (b_, 0, 0)),        # colors
+            vmem((strip_out, strip_rows), lambda b_, s: (0, 0)),  # L (flip)
+            vmem((wc, w), lambda b_, s: (0, 0)),              # R
         ],
-        # Strip s fills output rows [s*strip_out, ...) counted from the
-        # BOTTOM of the image: the global vertical flip is this reversed
-        # block index plus the in-strip flip already folded into L.
         out_specs=pl.BlockSpec(
-            (3, strip_out, w),
-            lambda s: (0, num_strips - 1 - s, 0),
+            (1, 3, strip_out, w),
+            lambda b_, s: (b_, 0, num_strips - 1 - s, 0),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3, h, w), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((3, strip_rows, wc), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((b, 3, h, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, strip_rows, wc), jnp.float32),  # planes
+            scratch_i32,                                    # fill
+        ],
         interpret=interpret,
     )(
-        num_sprites.reshape(1, 1).astype(jnp.int32),
-        counts.reshape(1, k),
-        rowrange.reshape(1, k, 2),
-        gymax.reshape(1, k),
+        counts.reshape(b, 1, k),
+        nh.reshape(b, 1, k),
+        nw.reshape(b, 1, k),
+        rowrange,
+        gymax.reshape(b, 1, k),
         edges,
         wedges,
         colors,
         jnp.asarray(l_host),
         jnp.asarray(r_host),
     )
-    return jnp.round(out.transpose(1, 2, 0)).astype(jnp.uint8)
+    return jnp.round(out.transpose(0, 2, 3, 1)).astype(jnp.uint8)
+
+
+def render_rgb(factors: jnp.ndarray,
+               num_sprites: jnp.ndarray,
+               **kwargs) -> jnp.ndarray:
+    """Render one scene to u8[H, W, 3]; see render_rgb_batch."""
+    return render_rgb_batch(
+        factors[None], jnp.asarray(num_sprites)[None], **kwargs)[0]

@@ -1,0 +1,172 @@
+"""Sharded multi-env runner: scan-fused rollouts with on-device metrics.
+
+The TPU replacement for replicating the reference's host loop
+(/root/reference/example_run_loop.py:62-80): B env lanes stepped in lockstep
+inside one jitted `lax.scan`, the batch sharded over the 'envs' mesh axis.
+A whole rollout chunk is a single device program — per-step host dispatch
+(the dominant cost of naive loops) disappears, and episode statistics are
+aggregated on-device (XLA turns the cross-batch sums into psums over ICI).
+
+Metrics mirror what the reference logs per episode
+(example_run_loop.py:79-80: success + nanmean reward), lifted to batched
+aggregates: completed episodes, successes at termination, summed returns
+(NaN rewards from unfiltered FindGoalPosition tasks are excluded the same
+way the reference's np.nanmean excludes them).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from spriteworld_tpu.core.environment import Environment
+from spriteworld_tpu.parallel import mesh as mesh_lib
+
+
+@struct.dataclass
+class Metrics:
+    """On-device rollout aggregates (replicated scalars)."""
+
+    steps: jnp.ndarray          # i64: total env steps taken
+    episodes: jnp.ndarray       # i64: episodes completed (LAST timesteps)
+    successes: jnp.ndarray      # i64: episodes that ended in task success
+    return_sum: jnp.ndarray     # f64-ish f32: sum of completed-episode returns
+    reward_sum: jnp.ndarray     # f32: nan-excluded sum of all step rewards
+
+    @classmethod
+    def zero(cls) -> "Metrics":
+        z = jnp.int64(0) if jax.config.read("jax_enable_x64") else jnp.int32(0)
+        return cls(steps=z, episodes=z, successes=z,
+                   return_sum=jnp.float32(0.0), reward_sum=jnp.float32(0.0))
+
+    def __add__(self, other: "Metrics") -> "Metrics":
+        return jax.tree.map(lambda a, b: a + b, self, other)
+
+    @property
+    def success_rate(self):
+        return self.successes / jnp.maximum(self.episodes, 1)
+
+    @property
+    def mean_return(self):
+        return self.return_sum / jnp.maximum(self.episodes, 1)
+
+
+class ShardedRunner:
+    """Steps a batch of envs sharded over a device mesh.
+
+    Args:
+      env: the Environment (pure transition functions).
+      num_envs: global batch size; must divide by mesh device count.
+      mesh: 1-D 'envs' mesh; defaults to all devices.
+      policy: optional `(key, state, timestep_obs) -> actions` batch policy;
+        defaults to the env's uniform random action sampler (the reference's
+        RandomAgent, example_run_loop.py:46-59).
+    """
+
+    def __init__(self,
+                 env: Environment,
+                 num_envs: int,
+                 mesh=None,
+                 policy: Optional[Callable] = None):
+        self.env = env
+        self.num_envs = int(num_envs)
+        self.mesh = mesh if mesh is not None else mesh_lib.env_mesh()
+        if self.num_envs % self.mesh.size:
+            raise ValueError(
+                f"num_envs={num_envs} must divide the mesh size "
+                f"{self.mesh.size}.")
+        self._shard = mesh_lib.env_sharding(self.mesh)
+        self._repl = mesh_lib.replicated_sharding(self.mesh)
+        self._policy = policy
+
+        self._reset = jax.jit(
+            env.reset_batch,
+            out_shardings=((self._shard, self._shard)))
+        self._rollout_cache = {}
+
+    # ------------------------------------------------------------------ #
+    def reset(self, key):
+        keys = jax.device_put(
+            jax.random.split(key, self.num_envs), self._shard)
+        state, ts = self._reset(keys)
+        # Per-lane in-progress return accumulator rides alongside the state.
+        self._ret_acc = jax.device_put(
+            jnp.zeros((self.num_envs,), jnp.float32), self._shard)
+        return state, ts
+
+    def _actions(self, key, state):
+        if self._policy is not None:
+            return self._policy(key, state)
+        keys = jax.random.split(key, self.num_envs)
+        return jax.vmap(self.env.sample_action)(keys)
+
+    def _build_rollout(self, num_steps: int, with_returns: bool):
+        env = self.env
+
+        def body(carry, _):
+            state, key, ret_acc = carry
+            key, k_act = jax.random.split(key)
+            actions = self._actions(k_act, state)
+            state, ts = env.step_batch(state, actions)
+
+            last = ts.last()
+            reward = jnp.nan_to_num(ts.reward)  # nanmean-style exclusion
+            ret_acc = ret_acc + reward
+            zero = jnp.zeros((), ret_acc.dtype)
+            ep_return = jnp.where(last, ret_acc, zero)
+            ret_acc = jnp.where(last, zero, ret_acc)
+
+            # Success is observed through the renderer-as-metrics pattern
+            # (reference example_run_loop.py:67); absent renderer -> False.
+            success = ts.observation.get("success", jnp.zeros_like(last))
+
+            cnt = Metrics.zero().steps.dtype
+            m = Metrics(
+                steps=jnp.asarray(last.shape[0], cnt),
+                episodes=last.sum(dtype=cnt),
+                successes=(last & success).sum(dtype=cnt),
+                return_sum=ep_return.sum(dtype=jnp.float32),
+                reward_sum=reward.sum(dtype=jnp.float32))
+            out = ts if with_returns else None
+            return (state, key, ret_acc), (m, out)
+
+        def rollout(state, key, ret_acc):
+            (state, key, ret_acc), (ms, tss) = jax.lax.scan(
+                body, (state, key, ret_acc), length=num_steps)
+            metrics = jax.tree.map(lambda x: x.sum(0), ms)
+            return state, key, ret_acc, metrics, tss
+
+        shard, repl = self._shard, self._repl
+        if with_returns:
+            # Stacked timesteps are [T, B, ...]: batch axis moves to dim 1.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            ts_shard = NamedSharding(self.mesh, P(None, mesh_lib.ENV_AXIS))
+        else:
+            ts_shard = None
+        return jax.jit(
+            rollout,
+            donate_argnums=(0, 2),
+            in_shardings=(shard, repl, shard),
+            out_shardings=(shard, repl, shard, repl, ts_shard))
+
+    def rollout(self, state, key, num_steps: int, return_timesteps=False):
+        """Run `num_steps` lockstep steps; returns (state, key, Metrics[, ts]).
+
+        The whole chunk is one device program. `return_timesteps=True`
+        additionally stacks every TimeStep (use small chunks: the obs trace
+        is [T, B, ...] in HBM).
+        """
+        sig = (int(num_steps), bool(return_timesteps))
+        if sig not in self._rollout_cache:
+            self._rollout_cache[sig] = self._build_rollout(*sig)
+        if getattr(self, "_ret_acc", None) is None:
+            self._ret_acc = jax.device_put(
+                jnp.zeros((self.num_envs,), jnp.float32), self._shard)
+        state, key, self._ret_acc, metrics, tss = self._rollout_cache[sig](
+            state, key, self._ret_acc)
+        if return_timesteps:
+            return state, key, metrics, tss
+        return state, key, metrics

@@ -1,0 +1,120 @@
+"""Scale-out layer tests on the virtual 8-device CPU mesh (conftest.py)."""
+
+import importlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spriteworld_tpu.core import environment, renderers
+from spriteworld_tpu.parallel import (
+    Metrics, ShardedRunner, env_mesh, env_sharding, restore_state,
+    save_state)
+
+
+def make_env():
+    config = importlib.import_module(
+        "spriteworld_tpu.configs.cobra.goal_finding_new_shape"
+    ).get_config("train")
+    config["renderers"] = {"success": renderers.Success()}
+    return environment.Environment(**config)
+
+
+def test_mesh_uses_all_devices():
+    mesh = env_mesh()
+    assert mesh.size == 8  # conftest forces 8 virtual CPU devices
+    assert mesh.axis_names == ("envs",)
+
+
+def test_sharded_rollout_matches_unsharded():
+    env = make_env()
+    mesh = env_mesh()
+    runner = ShardedRunner(env, num_envs=16, mesh=mesh)
+    state, _ = runner.reset(jax.random.key(0))
+    assert len(state.factors.sharding.device_set) == 8
+
+    state, _, metrics = runner.rollout(state, jax.random.key(1), 25)
+
+    # Replay the same rollout without any mesh: one-device vmap loop.
+    benv = environment.BatchedEnvironment(env, 16)
+    s2, _ = benv.reset(jax.random.key(0))
+    key = jax.random.key(1)
+    steps = episodes = successes = 0
+    reward_sum = 0.0
+    for _ in range(25):
+        key, k_act = jax.random.split(key)
+        acts = jax.vmap(env.sample_action)(jax.random.split(k_act, 16))
+        s2, ts = benv.step(s2, acts)
+        last = np.asarray(ts.step_type) == 2
+        steps += 16
+        episodes += last.sum()
+        successes += (last & np.asarray(ts.observation["success"])).sum()
+        reward_sum += np.nan_to_num(np.asarray(ts.reward)).sum()
+
+    assert int(metrics.steps) == steps
+    assert int(metrics.episodes) == episodes
+    assert int(metrics.successes) == successes
+    np.testing.assert_allclose(
+        float(metrics.reward_sum), reward_sum, rtol=1e-4)
+
+
+def test_rollout_chunks_accumulate():
+    env = make_env()
+    runner = ShardedRunner(env, num_envs=8)
+    state, _ = runner.reset(jax.random.key(3))
+    key = jax.random.key(4)
+    total = Metrics.zero()
+    for _ in range(3):
+        state, key, m = runner.rollout(state, key, 10)
+        total = total + m
+    assert int(total.steps) == 3 * 10 * 8
+    assert int(total.episodes) >= 0
+    assert float(total.success_rate) <= 1.0
+
+
+def test_rollout_with_timesteps_trace():
+    env = make_env()
+    runner = ShardedRunner(env, num_envs=8)
+    state, _ = runner.reset(jax.random.key(0))
+    state, key, metrics, tss = runner.rollout(
+        state, jax.random.key(1), 5, return_timesteps=True)
+    assert tss.step_type.shape == (5, 8)
+    assert int(metrics.episodes) == int(
+        (np.asarray(tss.step_type) == 2).sum())
+
+
+def test_checkpoint_roundtrip_resumes_trajectory(tmp_path):
+    env = make_env()
+    runner = ShardedRunner(env, num_envs=8)
+    state, _ = runner.reset(jax.random.key(7))
+    state, key, _ = runner.rollout(state, jax.random.key(8), 7)
+
+    save_state(str(tmp_path / "ck"), state)
+    restored = restore_state(str(tmp_path / "ck"), state)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(jax.random.key_data(a))
+            if jax.dtypes.issubdtype(a.dtype, jax.dtypes.prng_key)
+            else np.asarray(a),
+            np.asarray(jax.random.key_data(b))
+            if jax.dtypes.issubdtype(b.dtype, jax.dtypes.prng_key)
+            else np.asarray(b)),
+        state, restored)
+
+    # Continuing from the restored state reproduces the same trajectory.
+    k = jax.random.key(9)
+    benv = environment.BatchedEnvironment(env, 8)
+    acts = jax.vmap(env.sample_action)(jax.random.split(k, 8))
+    s_a, ts_a = benv.step(state, acts)
+    s_b, ts_b = benv.step(restored, acts)
+    np.testing.assert_array_equal(
+        np.asarray(ts_a.reward), np.asarray(ts_b.reward))
+    np.testing.assert_array_equal(
+        np.asarray(s_a.factors), np.asarray(s_b.factors))
+
+
+def test_num_envs_must_divide_mesh():
+    env = make_env()
+    with pytest.raises(ValueError):
+        ShardedRunner(env, num_envs=9)

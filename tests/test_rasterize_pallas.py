@@ -79,6 +79,24 @@ def test_num_sprites_masks_dead_slots():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("pil_exact", [True, False])
+def test_batched_stacking_matches_single(pil_exact):
+    """render_rgb_batch packs several envs per program; results match the
+    one-scene path exactly (the stacked edge tables are just shifted)."""
+    scenes = [random_scene(s, k=3 + (s % 4)) for s in range(8)]
+    factors = jnp.stack([f for f, _ in scenes])
+    nums = jnp.stack([jnp.int32(3 + (s % 4)) for s in range(8)])
+    batched = rasterize_pallas.render_rgb_batch(
+        factors, nums, image_size=(16, 16), anti_aliasing=1,
+        pil_exact=pil_exact, interpret=True)
+    for i, (f, _) in enumerate(scenes):
+        single = rasterize.render_rgb(
+            f, nums[i], image_size=(16, 16), anti_aliasing=1,
+            pil_exact=pil_exact)
+        np.testing.assert_array_equal(
+            np.asarray(batched[i]), np.asarray(single), err_msg=f"env {i}")
+
+
 def test_vmap_batches_over_scenes():
     scenes = [random_scene(s) for s in range(3)]
     factors = jnp.stack([f for f, _ in scenes])
