@@ -201,11 +201,13 @@ class Environment:
 
     def step_batch(self, state: EnvState, actions):
         """Batched step: state pytree and actions carry a leading B axis."""
-        new_state, ts = jax.vmap(self.transition)(state, actions)
-        success = jax.vmap(self._task.success)(
-            new_state.factors, new_state.num_sprites)
-        obs = self.observation_batch(
-            new_state.factors, new_state.num_sprites, success)
+        with jax.named_scope("spriteworld.transition"):
+            new_state, ts = jax.vmap(self.transition)(state, actions)
+        with jax.named_scope("spriteworld.render"):
+            success = jax.vmap(self._task.success)(
+                new_state.factors, new_state.num_sprites)
+            obs = self.observation_batch(
+                new_state.factors, new_state.num_sprites, success)
         return new_state, ts.replace(observation=obs)
 
     def reset_batch(self, keys):
