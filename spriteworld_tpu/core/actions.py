@@ -33,13 +33,27 @@ def _move_sprite(factors, idx, motion, do_move, keep_in_frame: bool):
     """Move sprite `idx` by `motion` if `do_move` (clip like sprite.py:103-107).
 
     `keep_in_frame` is static config, so the clip resolves at trace time.
+
+    Implemented as a one-hot masked select over all K slots rather than a
+    dynamic-index scatter: under vmap a traced-index `.at[idx].set` lowers to
+    a TPU scatter, which benchmarked ~30x slower than this fully vectorized
+    form (K is tiny, so touching every slot is free).
     """
-    pos = factors[..., idx, 0:2]
-    new_pos = pos + motion
+    k = factors.shape[-2]
+    sel = (jnp.arange(k) == idx) & do_move  # [..., K]
+    pos = factors[..., 0:2]
+    new_pos = pos + motion[..., None, :]
     if keep_in_frame:
         new_pos = jnp.clip(new_pos, 0.0, 1.0)
-    new_pos = jnp.where(do_move, new_pos, pos)
-    return factors.at[..., idx, 0:2].set(new_pos)
+    pos = jnp.where(sel[..., None], new_pos, pos)
+    return factors.at[..., 0:2].set(pos)
+
+
+def _sprite_position(factors, idx):
+    """Position of sprite `idx` as a one-hot contraction (gather-free)."""
+    k = factors.shape[-2]
+    onehot = (jnp.arange(k) == idx).astype(factors.dtype)  # [..., K]
+    return jnp.einsum("...k,...kc->...c", onehot, factors[..., 0:2])
 
 
 class SelectMove:
@@ -115,7 +129,7 @@ class Embodied:
         carry = action[0]
         motion = jnp.asarray(self._motions)[action[1].astype(jnp.int32)]
         body_idx = jnp.maximum(num_sprites - 1, 0)
-        body_pos = factors[..., body_idx, 0:2]
+        body_pos = _sprite_position(factors, body_idx)
         # Topmost non-body sprite whose polygon contains the body center
         # (decided from pre-move positions, like reference :180-213).
         hits = geometry.sprites_containing_point(factors, body_pos)
