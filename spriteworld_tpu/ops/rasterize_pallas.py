@@ -179,7 +179,8 @@ def _fill_kernel(counts_ref, nh_ref, nw_ref, rowrange_ref, gymax_ref,
                  planes_ref, fill_ref,  # VMEM scratch
                  *, num_slots: int, max_vertices: int, strip_rows: int,
                  num_strips_static: int, wc: int, pil_exact: bool,
-                 bg: Tuple[float, float, float], unroll: bool = True):
+                 bg: Tuple[float, float, float], unroll: bool = True,
+                 packed: bool = False):
     """One program = one canvas row strip of one scene.
 
     With `unroll=True` (the TPU path) the edge loops are statically
@@ -192,17 +193,33 @@ def _fill_kernel(counts_ref, nh_ref, nw_ref, rowrange_ref, gymax_ref,
     (used by the interpreter, where a 700-block unroll is impractical).
     """
     strip = pl.program_id(1)
-    row0 = (strip * strip_rows).astype(jnp.float32)
     half = 0.0 if pil_exact else 0.5
-    rows = row0 + jax.lax.broadcasted_iota(
-        jnp.int32, (strip_rows, 1), 0).astype(jnp.float32) + half
-    cols = jax.lax.broadcasted_iota(
-        jnp.int32, (strip_rows, wc), 1).astype(jnp.float32) + half
+    if packed:
+        # Lane-packed canvas [hc*wc/128, 128]: wc < 128 would otherwise leave
+        # (128 - wc) of every vreg's lanes idle — at 64x64 that is half the
+        # VPU — and per-row [S, 1] quantities idle 127/128. Flattening
+        # pixel index p = out_row*wc + col onto (sublane, lane) makes every
+        # edge-loop op fully dense. Single-strip aa=1 only, so the vertical
+        # flip folds into the row map (the strip path folds it into L) and
+        # no downsample is needed.
+        rpl = 128 // wc  # whole output rows per 128-lane vreg row
+        shp = (strip_rows * wc // 128, 128)
+        sub = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
+        out_row = sub * rpl + lane // wc
+        rows = (strip_rows - 1 - out_row).astype(jnp.float32) + half
+        cols = (lane % wc).astype(jnp.float32) + half
+    else:
+        row0 = (strip * strip_rows).astype(jnp.float32)
+        rows = row0 + jax.lax.broadcasted_iota(
+            jnp.int32, (strip_rows, 1), 0).astype(jnp.float32) + half
+        cols = jax.lax.broadcasted_iota(
+            jnp.int32, (strip_rows, wc), 1).astype(jnp.float32) + half
     colsm = cols - 0.5
     colsp = cols + 0.5
 
     for c in range(3):
-        planes_ref[c] = jnp.full((strip_rows, wc), bg[c], jnp.float32)
+        planes_ref[c] = jnp.full_like(cols, bg[c])
 
     for k in range(num_slots):
         # counts is zeroed for dead slots in XLA, so liveness == count > 0.
@@ -265,10 +282,10 @@ def _fill_kernel(counts_ref, nh_ref, nw_ref, rowrange_ref, gymax_ref,
                 # needed (measured: predication + scratch-ref accumulation
                 # costs more than the padded edges' vector work).
                 gymax = gymax_ref[0, 0, k]
-                zero_f = jnp.zeros((strip_rows, wc), jnp.float32)
+                zero_f = jnp.zeros_like(cols)
                 le, win = zero_f, zero_f
-                total = jnp.zeros((strip_rows, 1), jnp.float32)
-                rowmax = jnp.full((strip_rows, 1), -_BIG, jnp.float32)
+                total = jnp.zeros_like(rows)
+                rowmax = jnp.full_like(rows, -_BIG)
                 for v in range(max_vertices):
                     wgt, xi, a, b = exact_terms(k, v, gymax)
                     le = le + wgt * a.astype(jnp.float32)
@@ -303,25 +320,25 @@ def _fill_kernel(counts_ref, nh_ref, nw_ref, rowrange_ref, gymax_ref,
                             jnp.maximum(rowmax,
                                         jnp.where(wgt > 0, xi, -_BIG)))
 
-                zero_f = jnp.zeros((strip_rows, wc), jnp.float32)
+                zero_f = jnp.zeros_like(cols)
                 le, win, total, rowmax = jax.lax.fori_loop(
                     0, count, edge_body,
-                    (zero_f, zero_f, jnp.zeros((strip_rows, 1), jnp.float32),
-                     jnp.full((strip_rows, 1), -_BIG, jnp.float32)))
+                    (zero_f, zero_f, jnp.zeros_like(rows),
+                     jnp.full_like(rows, -_BIG)))
                 filled = trim(le, win, total, rowmax)
                 filled = jax.lax.fori_loop(
                     0, count, lambda v, f: f | horiz_term(k, v), filled)
                 mask = jax.lax.fori_loop(
                     0, count, lambda v, f: f | wedge_term(k, v), filled) > 0
             elif unroll:
-                parity = jnp.zeros((strip_rows, wc), jnp.int32)
+                parity = jnp.zeros(cols.shape, jnp.int32)
                 for v in range(max_vertices):
                     parity = parity ^ centroid_term(k, v)
                 mask = parity > 0
             else:
                 mask = jax.lax.fori_loop(
                     0, count, lambda v, p: p ^ centroid_term(k, v),
-                    jnp.zeros((strip_rows, wc), jnp.int32)) > 0
+                    jnp.zeros(cols.shape, jnp.int32)) > 0
 
             for c in range(3):
                 planes_ref[c] = jnp.where(
@@ -335,16 +352,21 @@ def _fill_kernel(counts_ref, nh_ref, nw_ref, rowrange_ref, gymax_ref,
         else:
             paint(k)
 
-    # Box downsample + vertical flip (folded into L) on the MXU.
-    lm = l_ref[...]
-    rm = r_ref[...]
-    for c in range(3):
-        half_ds = jax.lax.dot_general(
-            lm, planes_ref[c], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        out_ref[0, c] = jax.lax.dot_general(
-            half_ds, rm, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+    if packed:
+        # No downsample at aa=1; the flip is already folded into `rows`.
+        for c in range(3):
+            out_ref[0, c] = planes_ref[c]
+    else:
+        # Box downsample + vertical flip (folded into L) on the MXU.
+        lm = l_ref[...]
+        rm = r_ref[...]
+        for c in range(3):
+            half_ds = jax.lax.dot_general(
+                lm, planes_ref[c], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            out_ref[0, c] = jax.lax.dot_general(
+                half_ds, rm, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
 
 def _pick_strip(h: int, aa: int, wc: int) -> int:
@@ -440,14 +462,33 @@ def render_rgb_batch(factors: jnp.ndarray,
     # big canvases are vector-bound — a count-limited fori_loop plus
     # per-sprite row skipping wins there. Interpreter always uses fori.
     unroll = (not interpret) and num_strips == 1
+    # Lane-packed canvas (see _fill_kernel): narrow canvases waste
+    # (128 - wc)/128 of every vreg; at aa=1 there is no downsample, so the
+    # whole frame can live flattened as [h*w/128, 128]. Divisors of 128 are
+    # powers of two, so the kernel's index math reduces to shifts/masks.
+    packed = (aa == 1 and num_strips == 1 and wc < 128
+              and 128 % wc == 0 and (hc * wc) % 128 == 0)
+    cshape = ((hc * wc) // 128, 128) if packed else (strip_rows, wc)
     kernel = functools.partial(
         _fill_kernel, num_slots=k, max_vertices=vmax,
         strip_rows=strip_rows, num_strips_static=num_strips, wc=wc,
-        pil_exact=pil_exact, bg=bg, unroll=unroll)
+        pil_exact=pil_exact, bg=bg, unroll=unroll, packed=packed)
 
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
-    scratch_i32 = pltpu.VMEM((strip_rows, wc), jnp.int32)
+    scratch_i32 = pltpu.VMEM(cshape, jnp.int32)
+
+    if packed:
+        out_specs = pl.BlockSpec(
+            (1, 3) + cshape, lambda b_, s: (b_, 0, 0, 0),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b, 3) + cshape, jnp.float32)
+    else:
+        out_specs = pl.BlockSpec(
+            (1, 3, strip_out, w),
+            lambda b_, s: (b_, 0, num_strips - 1 - s, 0),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b, 3, h, w), jnp.float32)
 
     out = pl.pallas_call(
         kernel,
@@ -466,14 +507,11 @@ def render_rgb_batch(factors: jnp.ndarray,
             vmem((strip_out, strip_rows), lambda b_, s: (0, 0)),  # L (flip)
             vmem((wc, w), lambda b_, s: (0, 0)),              # R
         ],
-        out_specs=pl.BlockSpec(
-            (1, 3, strip_out, w),
-            lambda b_, s: (b_, 0, num_strips - 1 - s, 0),
-            memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 3, h, w), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((3, strip_rows, wc), jnp.float32),  # planes
-            scratch_i32,                                    # fill
+            pltpu.VMEM((3,) + cshape, jnp.float32),  # planes
+            scratch_i32,                              # fill
         ],
         interpret=interpret,
     )(
@@ -488,6 +526,8 @@ def render_rgb_batch(factors: jnp.ndarray,
         jnp.asarray(l_host),
         jnp.asarray(r_host),
     )
+    if packed:
+        out = out.reshape(b, 3, h, w)  # un-flatten the lane-packed canvas
     return jnp.round(out.transpose(0, 2, 3, 1)).astype(jnp.uint8)
 
 
