@@ -137,14 +137,17 @@ class ImageRenderer(AbstractRenderer):
                  bg_color: Optional[Tuple[int, int, int]] = None,
                  color_to_rgb: Union[None, str, Callable] = None,
                  use_pallas: Union[bool, str] = "auto",
-                 pil_exact: Union[bool, str] = "auto"):
-        """pil_exact="auto" uses the bit-exact PIL scanline fill at
-        anti_aliasing=1 (the mode where bit parity with the reference is
-        defined) and centroid sampling at anti_aliasing>1, where sub-pixel
-        fill differences vanish into the box average anyway (PIL's Lanczos
-        downsample already differs there; the reference's own tests only
-        bound AA>1 output, pil_renderer_test.py:68-72) — centroid is ~4x
-        faster. Pass True/False to force a fill."""
+                 pil_exact: Union[bool, str] = "auto",
+                 downsample: str = "auto"):
+        """By default observations are bit-exact vs the reference PILRenderer
+        at every anti_aliasing: pil_exact="auto" resolves to the Pillow
+        scanline fill, and downsample="auto" then picks the PIL-quantized
+        Lanczos filter (ops/resample.py) matching resize(ANTIALIAS)
+        (pil_renderer.py:84). Pass pil_exact=False for the fast mode:
+        centroid sampling + box average — at anti_aliasing>1 the differences
+        are sub-pixel and edge-local (the tolerance class the reference's
+        own AA tests accept, pil_renderer_test.py:68-72) and it is ~2-4x
+        cheaper. downsample="box"/"lanczos" forces a filter."""
         self._image_size = tuple(image_size)
         self._anti_aliasing = int(anti_aliasing)
         if self._anti_aliasing < 1 or min(self._image_size) < 1:
@@ -155,8 +158,9 @@ class ImageRenderer(AbstractRenderer):
         self._color_to_rgb = _resolve_color_map(color_to_rgb)
         self._use_pallas = use_pallas
         if pil_exact == "auto":
-            pil_exact = self._anti_aliasing == 1
+            pil_exact = True
         self._pil_exact = bool(pil_exact)
+        self._downsample = downsample
 
     @property
     def image_size(self):
@@ -184,14 +188,16 @@ class ImageRenderer(AbstractRenderer):
                 anti_aliasing=self._anti_aliasing,
                 bg_color=self._bg_color,
                 color_to_rgb=self._color_to_rgb,
-                pil_exact=self._pil_exact)
+                pil_exact=self._pil_exact,
+                downsample=self._downsample)
         return rasterize.render_rgb(
             factors, num_sprites,
             image_size=self._image_size,
             anti_aliasing=self._anti_aliasing,
             bg_color=self._bg_color,
             color_to_rgb=self._color_to_rgb,
-            pil_exact=self._pil_exact)
+            pil_exact=self._pil_exact,
+            downsample=self._downsample)
 
     def render_batch(self, factors, num_sprites, success):
         del success
@@ -204,14 +210,16 @@ class ImageRenderer(AbstractRenderer):
                 anti_aliasing=self._anti_aliasing,
                 bg_color=self._bg_color,
                 color_to_rgb=self._color_to_rgb,
-                pil_exact=self._pil_exact)
+                pil_exact=self._pil_exact,
+                downsample=self._downsample)
         return jax.vmap(lambda f, n: rasterize.render_rgb(
             f, n,
             image_size=self._image_size,
             anti_aliasing=self._anti_aliasing,
             bg_color=self._bg_color,
             color_to_rgb=self._color_to_rgb,
-            pil_exact=self._pil_exact))(factors, num_sprites)
+            pil_exact=self._pil_exact,
+            downsample=self._downsample))(factors, num_sprites)
 
     def observation_spec(self):
         return jax.ShapeDtypeStruct(

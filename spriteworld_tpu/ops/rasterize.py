@@ -44,6 +44,7 @@ import numpy as np
 from spriteworld_tpu import constants
 from spriteworld_tpu.core import state as state_lib
 from spriteworld_tpu.ops import geometry
+from spriteworld_tpu.ops import resample
 
 _COUNTS_HOST = constants.VERTEX_COUNTS
 
@@ -192,8 +193,14 @@ def render_rgb(factors: jnp.ndarray,
                anti_aliasing: int = 1,
                bg_color: Optional[Tuple[int, int, int]] = None,
                color_to_rgb: Optional[Callable] = None,
-               pil_exact: bool = True) -> jnp.ndarray:
-    """Render one scene to u8[H, W, 3] (math orientation: row 0 = y~1)."""
+               pil_exact: bool = True,
+               downsample: str = "auto") -> jnp.ndarray:
+    """Render one scene to u8[H, W, 3] (math orientation: row 0 = y~1).
+
+    downsample: "lanczos" reproduces PIL's resize(ANTIALIAS) bit-exactly
+    (pil_renderer.py:84); "box" is the cheap average. "auto" follows
+    pil_exact, so the PIL-parity fill also gets the PIL-parity filter.
+    """
     h, w = image_size
     aa = anti_aliasing
     hc, wc = h * aa, w * aa
@@ -220,7 +227,13 @@ def render_rgb(factors: jnp.ndarray,
         live = i < num_sprites
         canvas = jnp.where((inside & live)[..., None], colors[i], canvas)
 
+    if downsample == "auto":
+        downsample = "lanczos" if pil_exact else "box"
     if aa > 1:
+        if downsample == "lanczos":
+            canvas = resample.pil_resize_lanczos(canvas, h, w)
+            # Already integer-valued uint8 range; only the flip remains.
+            return jnp.flip(canvas, axis=0).astype(jnp.uint8)
         canvas = canvas.reshape(h, aa, w, aa, 3).mean(axis=(1, 3))
     # PIL top-left origin -> math bottom-left origin (pil_renderer.py:86-90).
     canvas = jnp.flip(canvas, axis=0)

@@ -54,6 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 from spriteworld_tpu import constants
 from spriteworld_tpu.core import state as state_lib
 from spriteworld_tpu.ops import geometry
+from spriteworld_tpu.ops import resample
 
 _COUNTS_HOST = constants.VERTEX_COUNTS
 _BIG = 1e9
@@ -180,7 +181,7 @@ def _fill_kernel(counts_ref, nh_ref, nw_ref, rowrange_ref, gymax_ref,
                  *, num_slots: int, max_vertices: int, strip_rows: int,
                  num_strips_static: int, wc: int, pil_exact: bool,
                  bg: Tuple[float, float, float], unroll: bool = True,
-                 packed: bool = False):
+                 packed: bool = False, h_pass_only: bool = False):
     """One program = one canvas row strip of one scene.
 
     With `unroll=True` (the TPU path) the edge loops are statically
@@ -356,6 +357,18 @@ def _fill_kernel(counts_ref, nh_ref, nw_ref, rowrange_ref, gymax_ref,
         # No downsample at aa=1; the flip is already folded into `rows`.
         for c in range(3):
             out_ref[0, c] = planes_ref[c]
+    elif h_pass_only:
+        # Horizontal Lanczos pass with Pillow's intermediate uint8 rounding
+        # (R holds the PIL-quantized taps); the vertical pass runs outside
+        # the kernel because its 3*aa-row support crosses strip boundaries.
+        # PIL row order is preserved — the flip happens after the v-pass.
+        rm = r_ref[...]
+        for c in range(3):
+            t = jax.lax.dot_general(
+                planes_ref[c], rm, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            out_ref[0, c] = jnp.clip(jnp.floor(t + 0.5), 0.0, 255.0)
     else:
         # Box downsample + vertical flip (folded into L) on the MXU.
         lm = l_ref[...]
@@ -423,7 +436,7 @@ def _prepare(factors, num_sprites, hc, wc, color_to_rgb, pil_exact):
 @functools.partial(
     jax.jit, static_argnames=(
         "image_size", "anti_aliasing", "bg_color", "color_to_rgb",
-        "pil_exact", "interpret"))
+        "pil_exact", "downsample", "interpret"))
 def render_rgb_batch(factors: jnp.ndarray,
                      num_sprites: jnp.ndarray,
                      *,
@@ -432,6 +445,7 @@ def render_rgb_batch(factors: jnp.ndarray,
                      bg_color: Optional[Tuple[int, int, int]] = None,
                      color_to_rgb: Optional[Callable] = None,
                      pil_exact: bool = True,
+                     downsample: str = "auto",
                      interpret="auto") -> jnp.ndarray:
     """Render a batch of scenes to u8[B, H, W, 3] (math orientation).
 
@@ -444,6 +458,9 @@ def render_rgb_batch(factors: jnp.ndarray,
     aa = int(anti_aliasing)
     hc, wc = h * aa, w * aa
     b, k, _ = factors.shape
+    if downsample == "auto":
+        downsample = "lanczos" if pil_exact else "box"
+    lanczos = downsample == "lanczos" and aa > 1
 
     strip_out = _pick_strip(h, aa, wc)
     strip_rows = strip_out * aa
@@ -455,6 +472,10 @@ def render_rgb_batch(factors: jnp.ndarray,
     vmax = edges.shape[2]
 
     l_host, r_host = _downsample_mats(strip_out, aa, wc, w)
+    if lanczos:
+        # R becomes the PIL-quantized horizontal Lanczos taps [wc, w]; the
+        # (unused) L keeps its shape so the kernel signature is uniform.
+        r_host = resample.pil_lanczos_matrix(wc, w).T.copy()
     bg = tuple(float(c) for c in (bg_color or (0, 0, 0)))
 
     # Loop strategy (measured on v5e): small canvases are control-bound —
@@ -472,7 +493,8 @@ def render_rgb_batch(factors: jnp.ndarray,
     kernel = functools.partial(
         _fill_kernel, num_slots=k, max_vertices=vmax,
         strip_rows=strip_rows, num_strips_static=num_strips, wc=wc,
-        pil_exact=pil_exact, bg=bg, unroll=unroll, packed=packed)
+        pil_exact=pil_exact, bg=bg, unroll=unroll, packed=packed,
+        h_pass_only=lanczos)
 
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
@@ -483,6 +505,12 @@ def render_rgb_batch(factors: jnp.ndarray,
             (1, 3) + cshape, lambda b_, s: (b_, 0, 0, 0),
             memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((b, 3) + cshape, jnp.float32)
+    elif lanczos:
+        # h-pass output keeps PIL row order and full supersampled height.
+        out_specs = pl.BlockSpec(
+            (1, 3, strip_rows, w), lambda b_, s: (b_, 0, s, 0),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b, 3, hc, w), jnp.float32)
     else:
         out_specs = pl.BlockSpec(
             (1, 3, strip_out, w),
@@ -528,6 +556,14 @@ def render_rgb_batch(factors: jnp.ndarray,
     )
     if packed:
         out = out.reshape(b, 3, h, w)  # un-flatten the lane-packed canvas
+    if lanczos:
+        # Vertical Lanczos pass (PIL-quantized taps) + flip to math coords.
+        kh = jnp.asarray(resample.pil_lanczos_matrix(hc, h))  # [h, hc]
+        out = jnp.einsum("oh,bchw->bcow", kh, out,
+                         precision=jax.lax.Precision.HIGHEST)
+        out = jnp.clip(jnp.floor(out + 0.5), 0.0, 255.0)
+        out = jnp.flip(out, axis=2)
+        return out.transpose(0, 2, 3, 1).astype(jnp.uint8)
     return jnp.round(out.transpose(0, 2, 3, 1)).astype(jnp.uint8)
 
 
