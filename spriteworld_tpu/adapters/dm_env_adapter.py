@@ -94,8 +94,21 @@ class Environment(dm_env.Environment):
     # ------------------------------------------------------------------ #
     # dm_env.Environment interface
     # ------------------------------------------------------------------ #
+    def _check_sample_ok(self):
+        """Re-raise exhausted rejection sampling host-side, mirroring the
+        reference's ValueError (factor_distributions.py:248-249). Inside jit
+        the engine can only flag it (EnvState.sample_ok); the single-env
+        adapter is the host boundary where the raise belongs."""
+        if not bool(self._state.sample_ok):
+            raise ValueError(
+                "Maximum number of tries exceeded when sampling the scene: "
+                "the factor distribution is over-constrained and rejection "
+                "sampling found no in-support sample within "
+                "MAX_REJECTION_TRIES.")
+
     def reset(self) -> dm_env.TimeStep:
         self._state, ts = self._reset_fn(self._next_key())
+        self._check_sample_ok()
         return self._to_timestep(ts)
 
     def step(self, action) -> dm_env.TimeStep:
@@ -105,6 +118,7 @@ class Environment(dm_env.Environment):
         else:
             action = jnp.asarray(np.asarray(action, dtype=np.float32))
         self._state, ts = self._step_fn(self._state, action)
+        self._check_sample_ok()
         return self._to_timestep(ts)
 
     def observation_spec(self):

@@ -39,10 +39,13 @@ import numpy as np
 
 from spriteworld_tpu import constants
 
-# Bound for rejection-sampling loops. The reference uses 1e5
-# (factor_distributions.py:45); inside jit the loop exits on acceptance, so
-# this is only a runaway guard.
-MAX_REJECTION_TRIES = 10_000
+# Bound for rejection-sampling loops, matching the reference's _MAX_TRIES=1e5
+# (factor_distributions.py:45). Inside jit the loop exits on acceptance, so
+# this only prices in on over-constrained distributions — which the reference
+# handles by raising (factor_distributions.py:248-249) and we handle by
+# returning ok=False from `sample_with_status` (raised host-side by the
+# dm_env adapter; surfaced as EnvState.sample_ok in the batched engine).
+MAX_REJECTION_TRIES = 100_000
 
 Spec = Dict[str, jnp.ndarray]
 
@@ -57,9 +60,24 @@ def _resolve(key: str, value):
 class AbstractDistribution(abc.ABC):
     """Base class: a distribution over factor dicts ("specs")."""
 
-    @abc.abstractmethod
     def sample(self, key) -> Spec:
         """Sample a spec (dict of f32 scalars) using PRNG `key`. Traceable."""
+        return self.sample_with_status(key)[0]
+
+    def sample_with_status(self, key):
+        """(spec, ok: bool scalar) — ok=False when a bounded rejection loop
+        exhausted MAX_REJECTION_TRIES without finding an in-support sample
+        (the jit-safe analogue of the reference's ValueError,
+        factor_distributions.py:248-249).
+
+        Custom distributions may override either method; a `sample`-only
+        subclass gets an always-ok status shim here.
+        """
+        if type(self).sample is AbstractDistribution.sample:
+            raise NotImplementedError(
+                "AbstractDistribution subclasses must implement sample() or "
+                "sample_with_status().")
+        return self.sample(key), jnp.bool_(True)
 
     @abc.abstractmethod
     def contains(self, spec: Spec) -> jnp.ndarray:
@@ -94,13 +112,13 @@ class Continuous(AbstractDistribution):
         self.maxval = maxval
         self.dtype = dtype
 
-    def sample(self, key) -> Spec:
+    def sample_with_status(self, key):
         v = jax.random.uniform(
             key, (), jnp.float32, self.minval, self.maxval)
         # np.cast-style conversion: int dtypes truncate toward zero
         # (factor_distributions.py:101-103).
         v = v.astype(self.dtype).astype(jnp.float32)
-        return {self.key: v}
+        return {self.key: v}, jnp.bool_(True)
 
     def contains(self, spec: Spec) -> jnp.ndarray:
         self._require_keys(spec)
@@ -127,11 +145,11 @@ class Discrete(AbstractDistribution):
             [_resolve(key, c) for c in candidates], dtype=np.float32)
         self.probs = None if probs is None else np.asarray(probs)
 
-    def sample(self, key) -> Spec:
+    def sample_with_status(self, key):
         idx = jax.random.choice(
             key, len(self.candidates),
             p=None if self.probs is None else jnp.asarray(self.probs))
-        return {self.key: jnp.asarray(self.candidates)[idx]}
+        return {self.key: jnp.asarray(self.candidates)[idx]}, jnp.bool_(True)
 
     def contains(self, spec: Spec) -> jnp.ndarray:
         self._require_keys(spec)
@@ -163,28 +181,32 @@ def _spec_select(pred, a: Spec, b: Spec) -> Spec:
     return {k: jnp.where(pred, a[k], b[k]) for k in a}
 
 
-def _rejection_sample(key, propose, accept, err_name):
+def _rejection_sample(key, propose, accept):
     """Bounded do-while rejection loop: propose until accepted.
 
-    `propose(key) -> Spec`, `accept(Spec) -> bool`. Inside jit we cannot
-    raise on exhaustion like the reference (factor_distributions.py:248-249);
-    the loop is bounded by MAX_REJECTION_TRIES and simply returns the last
-    candidate (callers that care can re-check containment).
+    `propose(key) -> (Spec, ok)`, `accept(Spec) -> bool`. Inside jit we
+    cannot raise on exhaustion like the reference
+    (factor_distributions.py:248-249); the loop is bounded by
+    MAX_REJECTION_TRIES and the returned `ok` flag records whether the final
+    candidate was actually accepted (AND the proposal's own status, since
+    nested rejection nodes propagate theirs).
     """
     k0, k1 = jax.random.split(key)
-    first = propose(k1)
+    first, ok0 = propose(k1)
 
     def cond(carry):
-        _, spec, tries = carry
+        _, spec, _, tries = carry
         return (~accept(spec)) & (tries < MAX_REJECTION_TRIES)
 
     def body(carry):
-        k, _, tries = carry
+        k, _, _, tries = carry
         k, sub = jax.random.split(k)
-        return k, propose(sub), tries + 1
+        spec, ok = propose(sub)
+        return k, spec, ok, tries + 1
 
-    _, spec, _ = jax.lax.while_loop(cond, body, (k0, first, jnp.int32(1)))
-    return spec
+    _, spec, child_ok, _ = jax.lax.while_loop(
+        cond, body, (k0, first, jnp.asarray(ok0), jnp.int32(1)))
+    return spec, accept(spec) & child_ok
 
 
 class Mixture(AbstractDistribution):
@@ -196,12 +218,12 @@ class Mixture(AbstractDistribution):
                       if probs is None else np.asarray(probs))
         self._keys = _same_keys_check(self.components, "Mixture")
 
-    def sample(self, key) -> Spec:
+    def sample_with_status(self, key):
         k_choice, k_sample = jax.random.split(key)
         idx = jax.random.choice(
             k_choice, len(self.components), p=jnp.asarray(self.probs))
         branches = [
-            (lambda k, c=c: c.sample(k)) for c in self.components]
+            (lambda k, c=c: c.sample_with_status(k)) for c in self.components]
         return jax.lax.switch(idx, branches, k_sample)
 
     def contains(self, spec: Spec) -> jnp.ndarray:
@@ -227,10 +249,10 @@ class Intersection(AbstractDistribution):
         self.index_for_sampling = index_for_sampling
         self._keys = _same_keys_check(self.components, "Intersection")
 
-    def sample(self, key) -> Spec:
+    def sample_with_status(self, key):
         proposal = self.components[self.index_for_sampling]
         return _rejection_sample(
-            key, proposal.sample, lambda s: self.contains(s), "Intersection")
+            key, proposal.sample_with_status, lambda s: self.contains(s))
 
     def contains(self, spec: Spec) -> jnp.ndarray:
         results = [c.contains(spec) for c in self.components]
@@ -262,12 +284,15 @@ class Product(AbstractDistribution):
                 f"are {total - len(union)} overlapping keys.")
         self._keys = union
 
-    def sample(self, key) -> Spec:
+    def sample_with_status(self, key):
         out: Spec = {}
+        ok = jnp.bool_(True)
         for c, sub in zip(self.components,
                           jax.random.split(key, len(self.components))):
-            out.update(c.sample(sub))
-        return out
+            spec, c_ok = c.sample_with_status(sub)
+            out.update(spec)
+            ok = ok & c_ok
+        return out, ok
 
     def contains(self, spec: Spec) -> jnp.ndarray:
         results = [c.contains(spec) for c in self.components]
@@ -295,10 +320,10 @@ class SetMinus(AbstractDistribution):
                 f"Keys {sorted(hold_out.keys)} of hold_out is not a subset of "
                 f"keys {sorted(base.keys)} of SetMinus base distribution.")
 
-    def sample(self, key) -> Spec:
+    def sample_with_status(self, key):
         return _rejection_sample(
-            key, self.base.sample,
-            lambda s: ~self.hold_out.contains(s), "SetMinus")
+            key, self.base.sample_with_status,
+            lambda s: ~self.hold_out.contains(s))
 
     def contains(self, spec: Spec) -> jnp.ndarray:
         return self.base.contains(spec) & ~self.hold_out.contains(spec)
@@ -326,10 +351,10 @@ class Selection(AbstractDistribution):
                 f"Keys {sorted(filtering.keys)} of filtering is not a subset "
                 f"of keys {sorted(base.keys)} of Selection base distribution.")
 
-    def sample(self, key) -> Spec:
+    def sample_with_status(self, key):
         return _rejection_sample(
-            key, self.base.sample,
-            lambda s: self.filtering.contains(s), "Selection")
+            key, self.base.sample_with_status,
+            lambda s: self.filtering.contains(s))
 
     def contains(self, spec: Spec) -> jnp.ndarray:
         return self.base.contains(spec) & self.filtering.contains(spec)

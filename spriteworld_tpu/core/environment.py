@@ -102,13 +102,14 @@ class Environment:
 
     def _fresh(self, key):
         k_scene, k_next = jax.random.split(key)
-        factors, num = self._init_sprites.sample(k_scene)
+        factors, num, ok = self._init_sprites.sample_with_status(k_scene)
         return EnvState(
             factors=factors,
             num_sprites=num,
             step_count=jnp.int32(0),
             reset_next=jnp.bool_(False),
-            key=k_next)
+            key=k_next,
+            sample_ok=ok)
 
     def reset(self, key):
         """Sample a fresh scene; returns (EnvState, FIRST TimeStep)."""
@@ -173,7 +174,8 @@ class Environment:
                 num_sprites=st.num_sprites,
                 step_count=step_count,
                 reset_next=terminate,
-                key=key_next)
+                key=key_next,
+                sample_ok=st.sample_ok)
             return new_state, ts
 
         return jax.lax.cond(
@@ -233,13 +235,14 @@ class Environment:
         with reset_next=True.
         """
         k_scene, k_next = jax.random.split(key)
-        factors, num = self._init_sprites.sample(k_scene)
+        factors, num, ok = self._init_sprites.sample_with_status(k_scene)
         return EnvState(
             factors=factors,
             num_sprites=num,
             step_count=jnp.int32(0),
             reset_next=jnp.bool_(True),
-            key=k_next)
+            key=k_next,
+            sample_ok=ok)
 
     def sample_action(self, key):
         return self._action_space.sample(key)

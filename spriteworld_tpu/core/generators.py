@@ -68,7 +68,25 @@ class SpriteGenerator:
     max_sprites: int
 
     def sample(self, key):
-        raise NotImplementedError
+        """(factors f32[max_sprites, 10], num i32)."""
+        return self.sample_with_status(key)[:2]
+
+    def sample_with_status(self, key):
+        """(factors, num, ok: bool scalar).
+
+        ok=False flags a scene containing a sprite whose factor-distribution
+        rejection sampling exhausted its bound (the jit-safe analogue of the
+        reference's ValueError, factor_distributions.py:248-249).
+
+        Custom generators may override either method; a `sample`-only
+        subclass gets an always-ok status shim here.
+        """
+        if type(self).sample is SpriteGenerator.sample:
+            raise NotImplementedError(
+                "SpriteGenerator subclasses must implement sample() or "
+                "sample_with_status().")
+        factors, num = self.sample(key)
+        return factors, num, jnp.bool_(True)
 
 
 class GenerateSprites(SpriteGenerator):
@@ -87,14 +105,14 @@ class GenerateSprites(SpriteGenerator):
             num_sprites if isinstance(num_sprites, int)
             else num_sprites.max_value)
 
-    def sample(self, key):
+    def sample_with_status(self, key):
         k_num, k_factors = jax.random.split(key)
         if isinstance(self.num_sprites, int):
             num = jnp.int32(self.num_sprites)
         else:
             num = self.num_sprites(k_num).astype(jnp.int32)
         kmax = self.max_sprites
-        specs = jax.vmap(self.factor_dist.sample)(
+        specs, oks = jax.vmap(self.factor_dist.sample_with_status)(
             jax.random.split(k_factors, kmax))
         factors = jnp.tile(
             jnp.asarray(state_lib.DEFAULT_FACTORS), (kmax, 1))
@@ -105,7 +123,10 @@ class GenerateSprites(SpriteGenerator):
         factors = jnp.where(
             alive[:, None], factors,
             jnp.asarray(state_lib.DEFAULT_FACTORS)[None, :])
-        return factors, num
+        # Only live slots count: a dead slot's discarded draw cannot poison
+        # the scene status.
+        ok = jnp.all(oks | ~alive)
+        return factors, num, ok
 
 
 class ChainGenerators(SpriteGenerator):
@@ -115,15 +136,18 @@ class ChainGenerators(SpriteGenerator):
         self.gens = gens
         self.max_sprites = sum(g.max_sprites for g in gens)
 
-    def sample(self, key):
+    def sample_with_status(self, key):
         keys = jax.random.split(key, len(self.gens))
         parts, valids = [], []
+        ok = jnp.bool_(True)
         for g, k in zip(self.gens, keys):
-            f, n = g.sample(k)
+            f, n, g_ok = g.sample_with_status(k)
             parts.append(f)
             valids.append(jnp.arange(g.max_sprites) < n)
-        return _pack(jnp.concatenate(parts, axis=0),
-                     jnp.concatenate(valids, axis=0))
+            ok = ok & g_ok
+        factors, num = _pack(jnp.concatenate(parts, axis=0),
+                             jnp.concatenate(valids, axis=0))
+        return factors, num, ok
 
 
 class SampleGenerator(SpriteGenerator):
@@ -134,7 +158,7 @@ class SampleGenerator(SpriteGenerator):
         self.p = None if p is None else np.asarray(p)
         self.max_sprites = max(g.max_sprites for g in self.gens)
 
-    def sample(self, key):
+    def sample_with_status(self, key):
         k_choice, k_gen = jax.random.split(key)
         idx = jax.random.choice(
             k_choice, len(self.gens),
@@ -142,13 +166,13 @@ class SampleGenerator(SpriteGenerator):
 
         def branch(g):
             def fn(k):
-                f, n = g.sample(k)
+                f, n, ok = g.sample_with_status(k)
                 pad = self.max_sprites - g.max_sprites
                 if pad:
                     f = jnp.concatenate(
                         [f, jnp.tile(jnp.asarray(state_lib.DEFAULT_FACTORS),
                                      (pad, 1))], axis=0)
-                return f, n
+                return f, n, ok
             return fn
 
         return jax.lax.switch(idx, [branch(g) for g in self.gens], k_gen)
@@ -161,15 +185,15 @@ class Shuffle(SpriteGenerator):
         self.gen = gen
         self.max_sprites = gen.max_sprites
 
-    def sample(self, key):
+    def sample_with_status(self, key):
         k_gen, k_perm = jax.random.split(key)
-        factors, num = self.gen.sample(k_gen)
+        factors, num, ok = self.gen.sample_with_status(k_gen)
         k = self.max_sprites
         # Random keys for live rows, +inf for dead rows: argsort yields a
         # uniform permutation of the live prefix, dead rows stay at the back.
         r = jax.random.uniform(k_perm, (k,))
         r = jnp.where(jnp.arange(k) < num, r, jnp.inf)
-        return factors[jnp.argsort(r)], num
+        return factors[jnp.argsort(r)], num, ok
 
 
 # Functional aliases mirroring the reference module-level API.

@@ -93,6 +93,11 @@ class EnvState:
     step_count: jnp.ndarray  # i32 scalar
     reset_next: jnp.ndarray  # bool scalar
     key: jnp.ndarray  # PRNG key
+    # False when this scene's rejection sampling exhausted its bound — the
+    # jit-safe stand-in for the reference's ValueError on over-constrained
+    # distributions (factor_distributions.py:248-249); the dm_env adapter
+    # re-raises it host-side. SURVEY.md §5.3.
+    sample_ok: jnp.ndarray = True  # bool scalar
 
     @property
     def alive(self) -> jnp.ndarray:

@@ -135,3 +135,23 @@ def test_embodied_action_adapter():
     assert ts.mid()
     spec = env.action_spec()
     assert isinstance(spec, list) and len(spec) == 2
+
+
+def test_impossible_distribution_raises_host_side():
+    """The engine flags exhausted rejection sampling (EnvState.sample_ok)
+    and the dm_env adapter re-raises it, mirroring the reference's
+    ValueError (factor_distributions.py:248-249)."""
+    impossible = distribs.Product([
+        distribs.SetMinus(distribs.Continuous("x", 0.1, 0.9),
+                          distribs.Continuous("x", 0.0, 1.0)),
+        distribs.Continuous("y", 0.1, 0.9),
+    ])
+    env = dm_env_adapter.Environment(
+        task=tasks.NoReward(),
+        action_space=actions.SelectMove(scale=0.25),
+        renderers={},
+        init_sprites=generators.generate_sprites(impossible, 1),
+        max_episode_length=5,
+        seed=0)
+    with pytest.raises(ValueError, match="Maximum number of tries"):
+        env.reset()

@@ -198,3 +198,31 @@ def test_to_str_runs():
         distribs.Continuous("x", 2, 3),
     ])
     assert "Mixture" in str(d) and "Continuous" in str(d)
+
+
+def test_rejection_exhaustion_reports_not_ok():
+    """An over-constrained SetMinus flags ok=False instead of looping
+    forever; the reference raises ValueError here
+    (factor_distributions.py:248-249, pinned by its
+    tests/factor_distributions_test.py:172-177)."""
+    import jax
+
+    impossible = distribs.SetMinus(
+        distribs.Continuous("x", 0.0, 1.0),
+        distribs.Continuous("x", -1.0, 2.0))
+    spec, ok = jax.jit(impossible.sample_with_status)(jax.random.key(0))
+    assert not bool(ok)
+    assert "x" in spec
+
+    # Status propagates through composition (Product of ok and not-ok).
+    prod = distribs.Product(
+        [impossible, distribs.Continuous("y", 0.0, 1.0)])
+    _, ok = jax.jit(prod.sample_with_status)(jax.random.key(1))
+    assert not bool(ok)
+
+    possible = distribs.SetMinus(
+        distribs.Continuous("x", 0.0, 1.0),
+        distribs.Continuous("x", 0.0, 0.5))
+    spec, ok = jax.jit(possible.sample_with_status)(jax.random.key(2))
+    assert bool(ok)
+    assert 0.5 <= float(spec["x"]) < 1.0
