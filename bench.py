@@ -1,20 +1,30 @@
-"""Throughput benchmark: env-steps/s per chip on the BASELINE workload.
+"""Throughput benchmark: env-steps/s per chip on the BASELINE workloads.
 
-Workload (BASELINE.json: "env-steps/s per chip (64x64 render, 6 sprites)"):
-goal-finding scenes with 6 sprites (1 hue-defined target + 5 distractors),
-SelectMove actions, FindGoalPosition reward, and 64x64 PILRenderer-equivalent
-image observations (anti_aliasing=1, the reference renderer's default —
-pil_renderer.py:34 — and the bit-exact parity mode). A random agent steps B
-sharded env lanes inside one jitted lax.scan; every rendered image is
-consumed by an on-device reduction (a stand-in learner) so the rasterizer
-cannot be dead-code-eliminated.
+BASELINE.json lists five configs to report:
 
-Prints ONE JSON line:
+  * ``factors``    — goal_finding, SpriteFactors renderer (no rasterization)
+  * ``image64``    — goal_finding with 64x64 image observations (the primary
+    metric; anti_aliasing=1 by default, --aa=5 for the COBRA-canonical
+    renderer of configs/cobra/common.py which dispatches to the Pallas
+    kernel + Lanczos downsample)
+  * ``clustering`` — cobra clustering task, canonical 64x64/AA=5 renderer
+  * ``sorting``    — cobra sorting (MetaAggregated), canonical renderer
+  * ``embodied``   — goal_finding_embodied (adhere-and-carry), its config's
+    own renderer
+
+A random agent steps B sharded env lanes inside one jitted lax.scan; every
+observation leaf is consumed by an on-device reduction (a stand-in learner)
+so rendering cannot be dead-code-eliminated.
+
+Prints ONE JSON line per requested workload:
   {"metric": ..., "value": steps/s/chip, "unit": ..., "vs_baseline": ...}
 vs_baseline is measured against the BASELINE.json north star of 1M steps/s
-on a v5e-8, i.e. 125k steps/s per chip.
+on a v5e-8, i.e. 125k steps/s per chip. The default invocation (no flags)
+runs only the primary ``image64`` workload — the driver's one-line contract.
 
-Usage: python bench.py [--num_envs=N] [--steps=T] [--aa=1] [--quick]
+Usage: python bench.py [--workload image64|factors|clustering|sorting|
+                        embodied|all] [--num_envs=N] [--steps=T] [--aa=1]
+                       [--quick]
 """
 
 import argparse
@@ -36,8 +46,8 @@ from spriteworld_tpu.parallel import env_mesh, env_sharding
 BASELINE_PER_CHIP = 1_000_000 / 8  # BASELINE.json: >1M steps/s on v5e-8
 
 
-def build_env(anti_aliasing: int = 1):
-    """6-sprite goal-finding env with 64x64 image obs (BASELINE workload)."""
+def _goal_finding_parts():
+    """6-sprite goal-finding scene: 1 hue target + 5 distractors."""
     common = distribs.Product([
         distribs.Continuous("x", 0.1, 0.9),
         distribs.Continuous("y", 0.1, 0.9),
@@ -50,22 +60,26 @@ def build_env(anti_aliasing: int = 1):
     ])
     target_hue = distribs.Continuous("c0", 0.0, 0.15)
     distractor_hue = distribs.Continuous("c0", 0.2, 0.9)
-    target = distribs.Product([common, target_hue])
-    distractors = distribs.Product([common, distractor_hue])
-
     init_sprites = sprite_generators.chain_generators(
-        sprite_generators.generate_sprites(target, num_sprites=1),
-        sprite_generators.generate_sprites(distractors, num_sprites=5))
-
+        sprite_generators.generate_sprites(
+            distribs.Product([common, target_hue]), num_sprites=1),
+        sprite_generators.generate_sprites(
+            distribs.Product([common, distractor_hue]), num_sprites=5))
     task = tasks.FindGoalPosition(
         filter_distrib=target_hue, goal_position=(0.5, 0.5),
         terminate_distance=0.05)
+    return task, init_sprites
+
+
+def build_env(anti_aliasing: int = 1, image_size=(64, 64)):
+    """Primary BASELINE workload: 6-sprite goal finding with image obs."""
+    task, init_sprites = _goal_finding_parts()
     return env_lib.Environment(
         task=task,
         action_space=action_lib.SelectMove(scale=0.25),
         renderers={
             "image": renderers.ImageRenderer(
-                image_size=(64, 64), anti_aliasing=anti_aliasing,
+                image_size=tuple(image_size), anti_aliasing=anti_aliasing,
                 color_to_rgb="hsv"),
             "success": renderers.Success(),
         },
@@ -74,19 +88,58 @@ def build_env(anti_aliasing: int = 1):
         metadata={"name": "bench_goal_finding_6sprites"})
 
 
+def build_factors_env():
+    """BASELINE config 1: goal_finding with SpriteFactors (no raster)."""
+    task, init_sprites = _goal_finding_parts()
+    return env_lib.Environment(
+        task=task,
+        action_space=action_lib.SelectMove(scale=0.25),
+        renderers={
+            "factors": renderers.SpriteFactors(),
+            "success": renderers.Success(),
+        },
+        init_sprites=init_sprites,
+        max_episode_length=20,
+        metadata={"name": "bench_goal_finding_factors"})
+
+
+def _config_env(module_name: str):
+    import importlib
+
+    mod = importlib.import_module(
+        f"spriteworld_tpu.configs.{module_name}")
+    cfg = mod.get_config("train")
+    cfg["renderers"]["success"] = renderers.Success()
+    return env_lib.Environment(**cfg)
+
+
+WORKLOADS = {
+    # name: (metric suffix, builder)
+    "image64": ("64x64render_6sprites", None),  # built with --aa
+    "factors": ("factors_6sprites", build_factors_env),
+    "clustering": ("cobra_clustering",
+                   lambda: _config_env("cobra.clustering")),
+    "sorting": ("cobra_sorting", lambda: _config_env("cobra.sorting")),
+    "embodied": ("goal_finding_embodied",
+                 lambda: _config_env("examples.goal_finding_embodied")),
+}
+
+
 def build_bench_fn(env, num_envs, sharding):
-    """One jitted program: T lockstep steps, image consumed on-device."""
+    """One jitted program: T lockstep steps, every obs consumed on-device."""
 
     def body(carry, _):
         state, key, acc = carry
         key, k_act = jax.random.split(key)
         acts = jax.vmap(env.sample_action)(jax.random.split(k_act, num_envs))
         state, ts = env.step_batch(state, acts)
-        # Consume the observation so rendering is not DCE'd: byte-sum plus
-        # reward sum feed a carried scalar (a minimal "learner").
-        img = ts.observation["image"]
-        acc = acc + img.astype(jnp.float32).sum() \
-            + jnp.nan_to_num(ts.reward).sum()
+        # Consume all observation leaves so no renderer is DCE'd: their
+        # byte-sums plus the reward sum feed a carried scalar (a minimal
+        # "learner").
+        obs_sum = sum(
+            leaf.astype(jnp.float32).sum()
+            for leaf in jax.tree.leaves(ts.observation))
+        acc = acc + obs_sum + jnp.nan_to_num(ts.reward).sum()
         return (state, key, acc), None
 
     def chunk(state, key, acc, num_steps):
@@ -100,27 +153,11 @@ def build_bench_fn(env, num_envs, sharding):
         out_shardings=(sharding, None, None))
 
 
-def main(argv=None):
-    p = argparse.ArgumentParser()
-    p.add_argument("--num_envs", type=int, default=0,
-                   help="global env lanes (0 = auto: 2048/chip)")
-    p.add_argument("--steps", type=int, default=200,
-                   help="steps per timed chunk")
-    p.add_argument("--chunks", type=int, default=3,
-                   help="timed chunk repetitions (best taken)")
-    p.add_argument("--aa", type=int, default=1, help="anti_aliasing factor")
-    p.add_argument("--quick", action="store_true",
-                   help="small sizes for smoke runs")
-    args = p.parse_args(argv)
-
+def run_workload(name: str, env, num_envs: int, steps: int, chunks: int,
+                 metric_suffix: str, extra: dict):
     n_chips = max(len(jax.devices()), 1)
-    num_envs = args.num_envs or (256 if args.quick else 2048 * n_chips)
-    steps = 20 if args.quick else args.steps
-    chunks = 2 if args.quick else args.chunks
-
     mesh = env_mesh()
     sharding = env_sharding(mesh)
-    env = build_env(anti_aliasing=args.aa)
 
     keys = jax.device_put(
         jax.random.split(jax.random.key(0), num_envs), sharding)
@@ -147,16 +184,60 @@ def main(argv=None):
     steps_per_sec = num_envs * steps / best
     per_chip = steps_per_sec / n_chips
     print(json.dumps({
-        "metric": "env_steps_per_sec_per_chip_64x64render_6sprites",
+        "metric": f"env_steps_per_sec_per_chip_{metric_suffix}",
         "value": round(per_chip, 1),
         "unit": "env-steps/s/chip",
         "vs_baseline": round(per_chip / BASELINE_PER_CHIP, 4),
+        "workload": name,
         "num_envs": num_envs,
         "chip_count": n_chips,
         "total_steps_per_sec": round(steps_per_sec, 1),
-        "anti_aliasing": args.aa,
         "backend": jax.default_backend(),
+        **extra,
     }))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--workload", default="image64",
+                   choices=list(WORKLOADS) + ["all"],
+                   help="BASELINE workload to run (default: the primary "
+                        "image64 metric); 'all' runs every workload plus "
+                        "image64 at AA=5")
+    p.add_argument("--num_envs", type=int, default=0,
+                   help="global env lanes (0 = auto: 2048/chip)")
+    p.add_argument("--steps", type=int, default=200,
+                   help="steps per timed chunk")
+    p.add_argument("--chunks", type=int, default=3,
+                   help="timed chunk repetitions (best taken)")
+    p.add_argument("--aa", type=int, default=1,
+                   help="anti_aliasing for the image64 workload")
+    p.add_argument("--quick", action="store_true",
+                   help="small sizes for smoke runs")
+    args = p.parse_args(argv)
+
+    n_chips = max(len(jax.devices()), 1)
+    num_envs = args.num_envs or (256 if args.quick else 2048 * n_chips)
+    steps = 20 if args.quick else args.steps
+    chunks = 2 if args.quick else args.chunks
+
+    if args.workload == "all":
+        todo = [("image64", 1), ("image64", 5)] + [
+            (n, None) for n in WORKLOADS if n != "image64"]
+    else:
+        todo = [(args.workload, args.aa)]
+
+    for name, aa in todo:
+        if name == "image64":
+            env = build_env(anti_aliasing=aa)
+            suffix = ("64x64render_6sprites" if aa == 1
+                      else f"64x64render_aa{aa}_6sprites")
+            extra = {"anti_aliasing": aa}
+        else:
+            suffix, builder = WORKLOADS[name]
+            env = builder()
+            extra = {}
+        run_workload(name, env, num_envs, steps, chunks, suffix, extra)
     return 0
 
 

@@ -28,12 +28,20 @@ from spriteworld_tpu.parallel import mesh as mesh_lib
 
 @struct.dataclass
 class Metrics:
-    """On-device rollout aggregates (replicated scalars)."""
+    """Rollout aggregates.
 
-    steps: jnp.ndarray          # i64: total env steps taken
-    episodes: jnp.ndarray       # i64: episodes completed (LAST timesteps)
-    successes: jnp.ndarray      # i64: episodes that ended in task success
-    return_sum: jnp.ndarray     # f64-ish f32: sum of completed-episode returns
+    On-device (inside one rollout chunk) the counters are i32 — JAX cannot
+    carry true i64 without global x64 — and a chunk is guarded to stay far
+    below i32 range. At the host boundary `ShardedRunner.rollout` converts
+    counters to Python ints, so accumulation across chunks (the only place
+    the i32 ceiling could ever be reached: ~2.4h of stepping at measured
+    throughput) is arbitrary-precision.
+    """
+
+    steps: jnp.ndarray          # int: total env steps taken
+    episodes: jnp.ndarray       # int: episodes completed (LAST timesteps)
+    successes: jnp.ndarray      # int: episodes that ended in task success
+    return_sum: jnp.ndarray     # f32: sum of completed-episode returns
     reward_sum: jnp.ndarray     # f32: nan-excluded sum of all step rewards
 
     @classmethod
@@ -159,6 +167,11 @@ class ShardedRunner:
         additionally stacks every TimeStep (use small chunks: the obs trace
         is [T, B, ...] in HBM).
         """
+        if int(num_steps) * self.num_envs >= 2**31:
+            raise ValueError(
+                f"A single chunk of {num_steps} steps x {self.num_envs} "
+                "envs would overflow the on-device i32 step counter; split "
+                "into smaller chunks (host-side accumulation is unbounded).")
         sig = (int(num_steps), bool(return_timesteps))
         if sig not in self._rollout_cache:
             self._rollout_cache[sig] = self._build_rollout(*sig)
@@ -167,6 +180,11 @@ class ShardedRunner:
                 jnp.zeros((self.num_envs,), jnp.float32), self._shard)
         state, key, self._ret_acc, metrics, tss = self._rollout_cache[sig](
             state, key, self._ret_acc)
+        # Counters leave the device as Python ints: cross-chunk accumulation
+        # can never overflow (the i32 dtype only ever spans one chunk).
+        metrics = metrics.replace(
+            steps=int(metrics.steps), episodes=int(metrics.episodes),
+            successes=int(metrics.successes))
         if return_timesteps:
             return state, key, metrics, tss
         return state, key, metrics

@@ -133,3 +133,45 @@ def test_sample_shapes():
     em = actions.Embodied()
     b = np.asarray(em.sample(jax.random.key(0)))
     assert b.shape == (2,) and b[0] in (0, 1) and b[1] in range(4)
+
+
+def test_selectmove_noise_statistics():
+    """apply_noise_to_action adds iid N(0, noise_scale^2) per coordinate,
+    matching the reference (action_spaces.py:69-75): mean stays at the
+    action, std matches noise_scale, and no clipping is applied."""
+    sigma = 0.1
+    space = actions.SelectMove(scale=0.25, noise_scale=sigma)
+    base = jnp.asarray([0.5, 0.5, 0.5, 0.5], jnp.float32)
+    n = 4096
+    noisy = jax.vmap(lambda k: space.apply_noise_to_action(base, k))(
+        jax.random.split(jax.random.key(0), n))
+    noisy = np.asarray(noisy)
+    # 4 coords x 4096 draws; 5-sigma bounds on the moment estimates.
+    assert np.abs(noisy.mean(0) - 0.5).max() < 5 * sigma / np.sqrt(n)
+    assert np.abs(noisy.std(0) - sigma).max() < 5 * sigma / np.sqrt(2 * n)
+    # Unclipped tails exist (reference applies no clipping).
+    assert noisy.max() > 0.5 + 2 * sigma
+    # noise_scale=None is the identity (reference :69-75 else-branch).
+    space_clean = actions.SelectMove(scale=0.25)
+    out = space_clean.apply_noise_to_action(base, jax.random.key(1))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
+
+
+def test_selectmove_noise_flows_into_selection():
+    """With huge noise the (noisy) click misses the sprite the clean click
+    would hit, so the sprite stays put — noise affects selection, not just
+    motion."""
+    factors = np.tile(state_lib.DEFAULT_FACTORS, (1, 1)).astype(np.float32)
+    factors[0, :2] = 0.5
+    factors[0, state_lib.SCALE] = 0.1
+    f = jnp.asarray(factors)
+    act = jnp.asarray([0.5, 0.5, 0.9, 0.9], jnp.float32)
+
+    clean = actions.SelectMove(scale=0.25)
+    f_clean, _ = clean.step(act, f, jnp.int32(1), True, jax.random.key(0))
+    assert float(jnp.abs(f_clean[0, :2] - f[0, :2]).max()) > 0.01
+
+    noisy = actions.SelectMove(scale=0.25, noise_scale=50.0)
+    f_noisy, _ = noisy.step(act, f, jnp.int32(1), True, jax.random.key(0))
+    np.testing.assert_array_equal(
+        np.asarray(f_noisy[0, :2]), np.asarray(f[0, :2]))
