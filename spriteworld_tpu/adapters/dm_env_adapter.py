@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from spriteworld_tpu import sprite as sprite_lib
 from spriteworld_tpu.core import environment as env_lib
 from spriteworld_tpu.core import renderers as renderers_lib
 from spriteworld_tpu.core import state as state_lib
@@ -74,7 +75,13 @@ class Environment(dm_env.Environment):
                     for i in range(n)
                 ])
             elif isinstance(renderer, renderers_lib.SpritePassthrough):
-                out[name] = np.asarray(value["factors"])[:n]
+                # Reference passes the Sprite list through
+                # (handcrafted.py:85-112): rebuild host-side Sprite objects
+                # from the factor rows.
+                arr = np.asarray(value["factors"])
+                out[name] = np.array(
+                    [sprite_lib.from_factor_row(arr[i]) for i in range(n)],
+                    dtype=object)
             elif isinstance(renderer, renderers_lib.Success):
                 out[name] = bool(np.asarray(value))
             else:
@@ -132,8 +139,9 @@ class Environment(dm_env.Environment):
                 }
                 spec[name] = [per_object for _ in range(n)]
             elif isinstance(renderer, renderers_lib.SpritePassthrough):
-                spec[name] = dm_specs.Array(
-                    shape=(n, state_lib.NUM_FACTORS), dtype=np.float32)
+                # Reference spec: object array of Sprites
+                # (handcrafted.py:110-112).
+                spec[name] = dm_specs.Array(shape=(n,), dtype=object)
             elif isinstance(renderer, renderers_lib.Success):
                 spec[name] = dm_specs.Array(shape=(), dtype=bool)
             elif isinstance(renderer, renderers_lib.ImageRenderer):
@@ -163,13 +171,21 @@ class Environment(dm_env.Environment):
             >= self._env.max_episode_length
         return self.success() or oof or timeout
 
-    def state(self):
+    def state(self, as_sprites: bool = False):
+        """Reference-style state dict (environment.py:128-134).
+
+        `as_sprites=True` returns host Sprite objects (the reference form);
+        the default stays the raw factor-row array for engine consumers.
+        """
         global_state = {"success": self.success()}
         if self._env.metadata:
             global_state["metadata"] = self._env.metadata
         n = int(self._state.num_sprites)
+        rows = np.asarray(self._state.factors)[:n]
+        sprites = ([sprite_lib.from_factor_row(r) for r in rows]
+                   if as_sprites else rows)
         return {
-            "sprites": np.asarray(self._state.factors)[:n],
+            "sprites": sprites,
             "global_state": global_state,
         }
 
