@@ -111,7 +111,9 @@ def _pil_polygon_mask(verts_c, count, hc: int, wc: int):
     a = xi_b <= cols[None] - 0.5
     b = xi_b < cols[None] + 0.5
     le = (w_b * a).sum(axis=1)  # [H, W]
-    win = (w_b * (b & ~a)).sum(axis=1)
+    # a subset-of b, so the window count is the difference of the two
+    # accumulations — one fewer [H, V, W] op than summing w*(b & ~a).
+    win = (w_b * b).sum(axis=1) - le
     # Odd-count trim: drop one instance of the row max.
     rm = rowmax[:, None]
     le = le - (odd_total[:, None] & (rm <= cols - 0.5)).astype(jnp.float32)

@@ -118,6 +118,9 @@ def _build_edge_tables(verts_c, counts, pil_exact: bool):
 
     # Wedge extensions at one-sided top vertices / global-bottom vertices
     # (pure per-vertex geometry -> precomputed; kernel only row-matches).
+    # The indexed neighbor reads go through one-hot contractions: TPU lowers
+    # tiny dynamic gathers catastrophically (take_along_axis here cost 83ms
+    # per 2048-scene batch — half the whole AA=5 render; one-hot is ~free).
     def neighbor(direction):
         nx = jnp.zeros_like(x0)
         ny = jnp.zeros_like(y0)
@@ -125,8 +128,9 @@ def _build_edge_tables(verts_c, counts, pil_exact: bool):
         for step in (1, 2, 3):
             j = jnp.mod(idx[None, :] + direction * step,
                         jnp.maximum(counts[:, None], 1))
-            cx = jnp.take_along_axis(x0, j, axis=-1)
-            cy = jnp.take_along_axis(y0, j, axis=-1)
+            onehot = (j[..., None] == idx).astype(x0.dtype)  # [K, V, V]
+            cx = jnp.einsum("kvu,ku->kv", onehot, x0)
+            cy = jnp.einsum("kvu,ku->kv", onehot, y0)
             differs = (cx != x0) | (cy != y0)
             take = (~found) & differs
             nx = jnp.where(take, cx, nx)
@@ -180,7 +184,7 @@ def _fill_kernel(counts_ref, nh_ref, nw_ref, rowrange_ref, gymax_ref,
                  planes_ref, fill_ref,  # VMEM scratch
                  *, num_slots: int, max_vertices: int, strip_rows: int,
                  num_strips_static: int, wc: int, pil_exact: bool,
-                 bg: Tuple[float, float, float], unroll: bool = True,
+                 bg_packed: float, unroll: bool = True,
                  packed: bool = False, h_pass_only: bool = False):
     """One program = one canvas row strip of one scene.
 
@@ -219,8 +223,12 @@ def _fill_kernel(counts_ref, nh_ref, nw_ref, rowrange_ref, gymax_ref,
     colsm = cols - 0.5
     colsp = cols + 0.5
 
-    for c in range(3):
-        planes_ref[c] = jnp.full_like(cols, bg[c])
+    # The canvas is ONE packed-RGB plane: colors are u8 triplets, so
+    # r*65536 + g*256 + b <= 2^24 - 1 is exact in f32. Painting costs one
+    # select per sprite instead of three; the plane is unpacked once at the
+    # end (exact: all intermediates are integers <= 2^24 and the divisors
+    # are powers of two).
+    planes_ref[...] = jnp.full_like(cols, bg_packed)
 
     for k in range(num_slots):
         # counts is zeroed for dead slots in XLA, so liveness == count > 0.
@@ -284,17 +292,20 @@ def _fill_kernel(counts_ref, nh_ref, nw_ref, rowrange_ref, gymax_ref,
                 # costs more than the padded edges' vector work).
                 gymax = gymax_ref[0, 0, k]
                 zero_f = jnp.zeros_like(cols)
-                le, win = zero_f, zero_f
+                # Accumulate le (x_i <= c-0.5) and bc (x_i < c+0.5); the
+                # window count win = bc - le falls out for free since
+                # le subset-of bc — one fewer wide op per edge.
+                le, bc = zero_f, zero_f
                 total = jnp.zeros_like(rows)
                 rowmax = jnp.full_like(rows, -_BIG)
                 for v in range(max_vertices):
                     wgt, xi, a, b = exact_terms(k, v, gymax)
                     le = le + wgt * a.astype(jnp.float32)
-                    win = win + wgt * (b & ~a).astype(jnp.float32)
+                    bc = bc + wgt * b.astype(jnp.float32)
                     total = total + wgt
                     rowmax = jnp.maximum(
                         rowmax, jnp.where(wgt > 0, xi, -_BIG))
-                fill_ref[...] = trim(le, win, total, rowmax)
+                fill_ref[...] = trim(le, bc - le, total, rowmax)
 
                 # Horizontal edges / vertex wedges are rare: whole loops
                 # are skipped per sprite via precomputed feature counts
@@ -313,20 +324,20 @@ def _fill_kernel(counts_ref, nh_ref, nw_ref, rowrange_ref, gymax_ref,
                 gymax = gymax_ref[0, 0, k]
 
                 def edge_body(v, carry):
-                    le, win, total, rowmax = carry
+                    le, bc, total, rowmax = carry
                     wgt, xi, a, b = exact_terms(k, v, gymax)
                     return (le + wgt * a.astype(jnp.float32),
-                            win + wgt * (b & ~a).astype(jnp.float32),
+                            bc + wgt * b.astype(jnp.float32),
                             total + wgt,
                             jnp.maximum(rowmax,
                                         jnp.where(wgt > 0, xi, -_BIG)))
 
                 zero_f = jnp.zeros_like(cols)
-                le, win, total, rowmax = jax.lax.fori_loop(
+                le, bc, total, rowmax = jax.lax.fori_loop(
                     0, count, edge_body,
                     (zero_f, zero_f, jnp.zeros_like(rows),
                      jnp.full_like(rows, -_BIG)))
-                filled = trim(le, win, total, rowmax)
+                filled = trim(le, bc - le, total, rowmax)
                 filled = jax.lax.fori_loop(
                     0, count, lambda v, f: f | horiz_term(k, v), filled)
                 mask = jax.lax.fori_loop(
@@ -341,9 +352,8 @@ def _fill_kernel(counts_ref, nh_ref, nw_ref, rowrange_ref, gymax_ref,
                     0, count, lambda v, p: p ^ centroid_term(k, v),
                     jnp.zeros(cols.shape, jnp.int32)) > 0
 
-            for c in range(3):
-                planes_ref[c] = jnp.where(
-                    mask, colors_ref[0, k, c], planes_ref[c])
+            planes_ref[...] = jnp.where(
+                mask, colors_ref[0, 0, k], planes_ref[...])
 
         if num_strips_static > 1:
             # Strips benefit from skipping sprites whose rows miss them.
@@ -353,10 +363,19 @@ def _fill_kernel(counts_ref, nh_ref, nw_ref, rowrange_ref, gymax_ref,
         else:
             paint(k)
 
+    # Unpack the packed-RGB plane once (all values are integers <= 2^24 and
+    # the divisors are powers of two, so every step below is f32-exact).
+    p = planes_ref[...]
+    red = jnp.floor(p * (1.0 / 65536.0))
+    rem = p - red * 65536.0
+    green = jnp.floor(rem * (1.0 / 256.0))
+    blue = rem - green * 256.0
+    channels = (red, green, blue)
+
     if packed:
         # No downsample at aa=1; the flip is already folded into `rows`.
         for c in range(3):
-            out_ref[0, c] = planes_ref[c]
+            out_ref[0, c] = channels[c]
     elif h_pass_only:
         # Horizontal Lanczos pass with Pillow's intermediate uint8 rounding
         # (R holds the PIL-quantized taps); the vertical pass runs outside
@@ -365,7 +384,7 @@ def _fill_kernel(counts_ref, nh_ref, nw_ref, rowrange_ref, gymax_ref,
         rm = r_ref[...]
         for c in range(3):
             t = jax.lax.dot_general(
-                planes_ref[c], rm, (((1,), (0,)), ((), ())),
+                channels[c], rm, (((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
             out_ref[0, c] = jnp.clip(jnp.floor(t + 0.5), 0.0, 255.0)
@@ -375,28 +394,31 @@ def _fill_kernel(counts_ref, nh_ref, nw_ref, rowrange_ref, gymax_ref,
         rm = r_ref[...]
         for c in range(3):
             half_ds = jax.lax.dot_general(
-                lm, planes_ref[c], (((1,), (0,)), ((), ())),
+                lm, channels[c], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             out_ref[0, c] = jax.lax.dot_general(
                 half_ds, rm, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
 
-def _pick_strip(h: int, aa: int, wc: int) -> int:
-    """Output rows per program: ~32K supersampled pixels per strip.
+def _pick_strip(h: int, aa: int, wc: int, limit: int = 16000) -> int:
+    """Output rows per program: ~`limit` supersampled pixels per strip.
 
     Big canvases split into strips (bounded VMEM + per-sprite row
     skipping); small ones render whole-frame. Mosaic needs the output block
-    sublane dim to be a multiple of 8 or to span the array.
+    sublane dim to be a multiple of 8 or to span the array. The ~16K-pixel
+    default is measured on v5e (64x64/AA=5 exact fill): finer strips beat
+    coarser ones because per-sprite row skipping prunes more work than the
+    extra program dispatches cost.
     """
     if h % 8 != 0:
         return h
     strip_out = 8
     for cand in (64, 32, 16):
-        if h % cand == 0 and cand * aa * wc <= 32768:
+        if h % cand == 0 and cand * aa * wc <= limit:
             strip_out = cand
             break
-    if h * aa * wc <= 32768:
+    if h * aa * wc <= limit:
         strip_out = h
     return strip_out
 
@@ -416,6 +438,9 @@ def _prepare(factors, num_sprites, hc, wc, color_to_rgb, pil_exact):
     if color_to_rgb is not None:
         colors = color_to_rgb(colors)
     colors = jnp.clip(colors, 0, 255).astype(jnp.uint8).astype(jnp.float32)
+    # Pack (r, g, b) into one f32 (exact: value <= 2^24 - 1) — the kernel
+    # paints a single packed plane.
+    colors = colors[:, 0] * 65536.0 + colors[:, 1] * 256.0 + colors[:, 2]
 
     edges, wedges, gymax = _build_edge_tables(verts_c, counts, pil_exact)
     nh = edges[..., _E_HORIZ].astype(jnp.int32).sum(-1)
@@ -436,7 +461,8 @@ def _prepare(factors, num_sprites, hc, wc, color_to_rgb, pil_exact):
 @functools.partial(
     jax.jit, static_argnames=(
         "image_size", "anti_aliasing", "bg_color", "color_to_rgb",
-        "pil_exact", "downsample", "interpret"))
+        "pil_exact", "downsample", "interpret", "strip_limit",
+        "unroll_multi"))
 def render_rgb_batch(factors: jnp.ndarray,
                      num_sprites: jnp.ndarray,
                      *,
@@ -446,7 +472,9 @@ def render_rgb_batch(factors: jnp.ndarray,
                      color_to_rgb: Optional[Callable] = None,
                      pil_exact: bool = True,
                      downsample: str = "auto",
-                     interpret="auto") -> jnp.ndarray:
+                     interpret="auto",
+                     strip_limit: int = 16000,
+                     unroll_multi: bool = False) -> jnp.ndarray:
     """Render a batch of scenes to u8[B, H, W, 3] (math orientation).
 
     factors: f32[B, K, 10]; num_sprites: i32[B]. `interpret="auto"` runs
@@ -462,7 +490,7 @@ def render_rgb_batch(factors: jnp.ndarray,
         downsample = "lanczos" if pil_exact else "box"
     lanczos = downsample == "lanczos" and aa > 1
 
-    strip_out = _pick_strip(h, aa, wc)
+    strip_out = _pick_strip(h, aa, wc, strip_limit)
     strip_rows = strip_out * aa
     num_strips = hc // strip_rows
 
@@ -477,12 +505,13 @@ def render_rgb_batch(factors: jnp.ndarray,
         # (unused) L keeps its shape so the kernel signature is uniform.
         r_host = resample.pil_lanczos_matrix(wc, w).T.copy()
     bg = tuple(float(c) for c in (bg_color or (0, 0, 0)))
+    bg_packed = bg[0] * 65536.0 + bg[1] * 256.0 + bg[2]
 
     # Loop strategy (measured on v5e): small canvases are control-bound —
     # fully unroll (padded edges are neutral and nearly free); multi-strip
     # big canvases are vector-bound — a count-limited fori_loop plus
     # per-sprite row skipping wins there. Interpreter always uses fori.
-    unroll = (not interpret) and num_strips == 1
+    unroll = (not interpret) and (num_strips == 1 or unroll_multi)
     # Lane-packed canvas (see _fill_kernel): narrow canvases waste
     # (128 - wc)/128 of every vreg; at aa=1 there is no downsample, so the
     # whole frame can live flattened as [h*w/128, 128]. Divisors of 128 are
@@ -493,8 +522,8 @@ def render_rgb_batch(factors: jnp.ndarray,
     kernel = functools.partial(
         _fill_kernel, num_slots=k, max_vertices=vmax,
         strip_rows=strip_rows, num_strips_static=num_strips, wc=wc,
-        pil_exact=pil_exact, bg=bg, unroll=unroll, packed=packed,
-        h_pass_only=lanczos)
+        pil_exact=pil_exact, bg_packed=bg_packed, unroll=unroll,
+        packed=packed, h_pass_only=lanczos)
 
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
@@ -531,15 +560,15 @@ def render_rgb_batch(factors: jnp.ndarray,
                  lambda b_, s: (b_, 0, 0, 0)),                # edges
             smem((1, k, vmax, _NW),
                  lambda b_, s: (b_, 0, 0, 0)),                # wedges
-            smem((1, k, 3), lambda b_, s: (b_, 0, 0)),        # colors
+            smem((1, 1, k), lambda b_, s: (b_, 0, 0)),        # colors packed
             vmem((strip_out, strip_rows), lambda b_, s: (0, 0)),  # L (flip)
             vmem((wc, w), lambda b_, s: (0, 0)),              # R
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((3,) + cshape, jnp.float32),  # planes
-            scratch_i32,                              # fill
+            pltpu.VMEM(cshape, jnp.float32),  # packed-RGB plane
+            scratch_i32,                      # fill
         ],
         interpret=interpret,
     )(
@@ -550,7 +579,7 @@ def render_rgb_batch(factors: jnp.ndarray,
         gymax.reshape(b, 1, k),
         edges,
         wedges,
-        colors,
+        colors.reshape(b, 1, k),
         jnp.asarray(l_host),
         jnp.asarray(r_host),
     )

@@ -118,3 +118,30 @@ def test_num_envs_must_divide_mesh():
     env = make_env()
     with pytest.raises(ValueError):
         ShardedRunner(env, num_envs=9)
+
+
+def test_initialize_multihost_wires_arguments(monkeypatch):
+    """The DCN bring-up wrapper forwards its arguments to
+    jax.distributed.initialize and is a no-op once initialized / in
+    single-process environments."""
+    from spriteworld_tpu.parallel import mesh as mesh_lib
+
+    calls = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda **kw: calls.append(kw))
+    mesh_lib.initialize_multihost("10.0.0.1:8476", 4, 2)
+    assert calls == [dict(coordinator_address="10.0.0.1:8476",
+                          num_processes=4, process_id=2)]
+
+    # Already-initialized: short-circuits before touching distributed.
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    mesh_lib.initialize_multihost()
+    assert len(calls) == 1
+
+    # Single-process ValueError is swallowed (tests/one-chip benches).
+    monkeypatch.setattr(jax, "process_count", lambda: 1)
+    def boom(**kw):
+        raise ValueError("requires multiple processes")
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    mesh_lib.initialize_multihost()
