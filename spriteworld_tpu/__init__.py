@@ -11,7 +11,9 @@ meshes for massive batched throughput.
 __version__ = "0.1.0"
 
 from spriteworld_tpu import constants
+from spriteworld_tpu import sprite
 from spriteworld_tpu.constants import SHAPES, ShapeType
+from spriteworld_tpu.sprite import Sprite
 from spriteworld_tpu.core.state import (
     FACTOR_NAMES,
     FACTOR_INDEX,

@@ -177,7 +177,7 @@ def _downsample_mats(strip_out: int, aa: int, wc: int, w: int):
     return l, r
 
 
-def _fill_kernel(counts_ref, nh_ref, nw_ref, rowrange_ref, gymax_ref,
+def _fill_kernel(counts_ref, nh_ref, nw_ref, bounds_ref, gymax_ref,
                  edges_ref, wedges_ref, colors_ref,  # all SMEM
                  l_ref, r_ref,  # VMEM
                  out_ref,
@@ -230,15 +230,25 @@ def _fill_kernel(counts_ref, nh_ref, nw_ref, rowrange_ref, gymax_ref,
     # are powers of two).
     planes_ref[...] = jnp.full_like(cols, bg_packed)
 
+    # Column blocks: lane-dim tiles of <=128 so each sprite only pays for
+    # the columns it can touch (sprites typically span a fraction of a big
+    # supersampled canvas; rows are already culled by strips). The packed
+    # layout interleaves columns across lanes, so it stays unblocked.
+    if packed:
+        col_blocks = [None]
+    else:
+        col_blocks = [(w0, min(w0 + 128, wc)) for w0 in range(0, wc, 128)]
+
     for k in range(num_slots):
         # counts is zeroed for dead slots in XLA, so liveness == count > 0.
         count = counts_ref[0, 0, k]
-        hit = ((rowrange_ref[0, k, 0] <= strip * strip_rows + strip_rows - 1)
-               & (rowrange_ref[0, k, 1] >= strip * strip_rows))
+        hit = ((bounds_ref[0, k, 0] <= strip * strip_rows + strip_rows - 1)
+               & (bounds_ref[0, k, 1] >= strip * strip_rows))
 
         # Shared per-edge math (v may be a Python int or a traced index;
-        # SMEM scalar loads accept both).
-        def exact_terms(k, v, gymax):
+        # SMEM scalar loads accept both). Wide quantities are computed on
+        # one column block at a time.
+        def exact_terms(k, v, gymax, colsm_b, colsp_b):
             e_y0 = edges_ref[0, k, v, _E_Y0]
             e_ymax = edges_ref[0, k, v, _E_YMAX]
             inr = (edges_ref[0, k, v, _E_SLANT] > 0.0) \
@@ -250,40 +260,53 @@ def _fill_kernel(counts_ref, nh_ref, nw_ref, rowrange_ref, gymax_ref,
             # f32 weights: tiny exact integers, and VPU f32 multiplies are
             # ~6x faster than emulated i32 multiplies (measured on v5e).
             wgt = inr.astype(jnp.float32) + dup.astype(jnp.float32)
-            a = xi <= colsm
-            b = xi < colsp
+            a = xi <= colsm_b
+            b = xi < colsp_b
             return wgt, xi, a, b
 
-        def centroid_term(k, v):
+        def centroid_term(k, v, cols_b):
             e_y0 = edges_ref[0, k, v, _E_Y0]
             straddle = (e_y0 > rows) != (edges_ref[0, k, v, _E_Y1] > rows)
             xi = edges_ref[0, k, v, _E_X0] \
                 + (rows - e_y0) * edges_ref[0, k, v, _E_M]
-            return (straddle & (cols < xi)).astype(jnp.int32)
+            return (straddle & (cols_b < xi)).astype(jnp.int32)
 
-        def horiz_term(k, v):
+        def horiz_term(k, v, colsm_b, colsp_b):
             return ((edges_ref[0, k, v, _E_HORIZ] > 0.0)
                     & (rows == edges_ref[0, k, v, _E_Y0])
-                    & (edges_ref[0, k, v, _E_HLO] < colsp)
-                    & (edges_ref[0, k, v, _E_HHI] > colsm)
+                    & (edges_ref[0, k, v, _E_HLO] < colsp_b)
+                    & (edges_ref[0, k, v, _E_HHI] > colsm_b)
                     ).astype(jnp.int32)
 
-        def wedge_term(k, v):
+        def wedge_term(k, v, cols_b):
             return ((wedges_ref[0, k, v, _W_ACTIVE] > 0.0)
                     & (rows == wedges_ref[0, k, v, _W_ROW])
-                    & (cols >= wedges_ref[0, k, v, _W_LO])
-                    & (cols <= wedges_ref[0, k, v, _W_HI])
+                    & (cols_b >= wedges_ref[0, k, v, _W_LO])
+                    & (cols_b <= wedges_ref[0, k, v, _W_HI])
                     ).astype(jnp.int32)
 
-        def trim(le, win, total, rowmax):
+        def trim(le, win, total, rowmax, colsm_b, colsp_b):
             odd = jnp.mod(total, 2.0) == 1.0  # [S, 1]
-            le = le - (odd & (rowmax <= colsm)).astype(jnp.float32)
-            win = win - (odd & (rowmax > colsm)
-                         & (rowmax < colsp)).astype(jnp.float32)
+            le = le - (odd & (rowmax <= colsm_b)).astype(jnp.float32)
+            win = win - (odd & (rowmax > colsm_b)
+                         & (rowmax < colsp_b)).astype(jnp.float32)
             return ((jnp.mod(le, 2.0) == 1.0) | (win > 0)).astype(jnp.int32)
 
-        def paint(k):
+        def paint(k, blk):
             count = counts_ref[0, 0, k]
+            if blk is None:
+                sl = slice(None)
+                cols_b, colsm_b, colsp_b = cols, colsm, colsp
+            else:
+                sl = slice(blk[0], blk[1])
+                # Fresh per-block iota, NOT cols[:, sl]: Mosaic crashes
+                # (array.h limits check) lowering lane-dim slices of a
+                # full-width value inside the nested pl.when.
+                cols_b = blk[0] + half + jax.lax.broadcasted_iota(
+                    jnp.int32, (strip_rows, blk[1] - blk[0]), 1
+                ).astype(jnp.float32)
+                colsm_b = cols_b - 0.5
+                colsp_b = cols_b + 0.5
 
             if pil_exact and unroll:
                 # Full static unroll with SSA accumulators. Padded/dead
@@ -291,7 +314,7 @@ def _fill_kernel(counts_ref, nh_ref, nw_ref, rowrange_ref, gymax_ref,
                 # needed (measured: predication + scratch-ref accumulation
                 # costs more than the padded edges' vector work).
                 gymax = gymax_ref[0, 0, k]
-                zero_f = jnp.zeros_like(cols)
+                zero_f = jnp.zeros_like(cols_b)
                 # Accumulate le (x_i <= c-0.5) and bc (x_i < c+0.5); the
                 # window count win = bc - le falls out for free since
                 # le subset-of bc — one fewer wide op per edge.
@@ -299,13 +322,15 @@ def _fill_kernel(counts_ref, nh_ref, nw_ref, rowrange_ref, gymax_ref,
                 total = jnp.zeros_like(rows)
                 rowmax = jnp.full_like(rows, -_BIG)
                 for v in range(max_vertices):
-                    wgt, xi, a, b = exact_terms(k, v, gymax)
+                    wgt, xi, a, b = exact_terms(k, v, gymax,
+                                                colsm_b, colsp_b)
                     le = le + wgt * a.astype(jnp.float32)
                     bc = bc + wgt * b.astype(jnp.float32)
                     total = total + wgt
                     rowmax = jnp.maximum(
                         rowmax, jnp.where(wgt > 0, xi, -_BIG))
-                fill_ref[...] = trim(le, bc - le, total, rowmax)
+                fill_ref[:, sl] = trim(le, bc - le, total, rowmax,
+                                       colsm_b, colsp_b)
 
                 # Horizontal edges / vertex wedges are rare: whole loops
                 # are skipped per sprite via precomputed feature counts
@@ -313,55 +338,68 @@ def _fill_kernel(counts_ref, nh_ref, nw_ref, rowrange_ref, gymax_ref,
                 @pl.when(nh_ref[0, 0, k] > 0)
                 def _horiz(k=k):
                     for v in range(max_vertices):
-                        fill_ref[...] = fill_ref[...] | horiz_term(k, v)
+                        fill_ref[:, sl] = fill_ref[:, sl] | horiz_term(
+                            k, v, colsm_b, colsp_b)
 
                 @pl.when(nw_ref[0, 0, k] > 0)
                 def _wedges(k=k):
                     for v in range(max_vertices):
-                        fill_ref[...] = fill_ref[...] | wedge_term(k, v)
-                mask = fill_ref[...] > 0
+                        fill_ref[:, sl] = fill_ref[:, sl] | wedge_term(
+                            k, v, cols_b)
+                mask = fill_ref[:, sl] > 0
             elif pil_exact:
                 gymax = gymax_ref[0, 0, k]
 
                 def edge_body(v, carry):
                     le, bc, total, rowmax = carry
-                    wgt, xi, a, b = exact_terms(k, v, gymax)
+                    wgt, xi, a, b = exact_terms(k, v, gymax,
+                                                colsm_b, colsp_b)
                     return (le + wgt * a.astype(jnp.float32),
                             bc + wgt * b.astype(jnp.float32),
                             total + wgt,
                             jnp.maximum(rowmax,
                                         jnp.where(wgt > 0, xi, -_BIG)))
 
-                zero_f = jnp.zeros_like(cols)
+                zero_f = jnp.zeros_like(cols_b)
                 le, bc, total, rowmax = jax.lax.fori_loop(
                     0, count, edge_body,
                     (zero_f, zero_f, jnp.zeros_like(rows),
                      jnp.full_like(rows, -_BIG)))
-                filled = trim(le, bc - le, total, rowmax)
+                filled = trim(le, bc - le, total, rowmax, colsm_b, colsp_b)
                 filled = jax.lax.fori_loop(
-                    0, count, lambda v, f: f | horiz_term(k, v), filled)
+                    0, count,
+                    lambda v, f: f | horiz_term(k, v, colsm_b, colsp_b),
+                    filled)
                 mask = jax.lax.fori_loop(
-                    0, count, lambda v, f: f | wedge_term(k, v), filled) > 0
+                    0, count,
+                    lambda v, f: f | wedge_term(k, v, cols_b), filled) > 0
             elif unroll:
-                parity = jnp.zeros(cols.shape, jnp.int32)
+                parity = jnp.zeros(cols_b.shape, jnp.int32)
                 for v in range(max_vertices):
-                    parity = parity ^ centroid_term(k, v)
+                    parity = parity ^ centroid_term(k, v, cols_b)
                 mask = parity > 0
             else:
                 mask = jax.lax.fori_loop(
-                    0, count, lambda v, p: p ^ centroid_term(k, v),
-                    jnp.zeros(cols.shape, jnp.int32)) > 0
+                    0, count, lambda v, p: p ^ centroid_term(k, v, cols_b),
+                    jnp.zeros(cols_b.shape, jnp.int32)) > 0
 
-            planes_ref[...] = jnp.where(
-                mask, colors_ref[0, 0, k], planes_ref[...])
+            planes_ref[:, sl] = jnp.where(
+                mask, colors_ref[0, 0, k], planes_ref[:, sl])
 
-        if num_strips_static > 1:
-            # Strips benefit from skipping sprites whose rows miss them.
-            @pl.when((count > 0) & hit)
-            def _gated(k=k):
-                paint(k)
+        if num_strips_static > 1 or len(col_blocks) > 1:
+            # Skip whole (sprite, strip, column-block) tiles the sprite's
+            # bounding box misses.
+            for blk in col_blocks:
+                gate = (count > 0) & hit
+                if blk is not None:
+                    gate = gate & (bounds_ref[0, k, 2] <= blk[1] - 1) \
+                        & (bounds_ref[0, k, 3] >= blk[0])
+
+                @pl.when(gate)
+                def _gated(k=k, blk=blk):
+                    paint(k, blk)
         else:
-            paint(k)
+            paint(k, col_blocks[0])
 
     # Unpack the packed-RGB plane once (all values are integers <= 2^24 and
     # the divisors are powers of two, so every step below is f32-exact).
@@ -447,15 +485,23 @@ def _prepare(factors, num_sprites, hc, wc, color_to_rgb, pil_exact):
     nw = wedges[..., _W_ACTIVE].astype(jnp.int32).sum(-1)
 
     ys = verts_c[..., 1]
+    xs = verts_c[..., 0]
     vmax = verts_c.shape[-2]
     vidx = jnp.arange(vmax)[None, :] < counts[:, None]
     ymin = jnp.min(jnp.where(vidx, ys, _BIG), axis=-1)
     ymax = jnp.max(jnp.where(vidx, ys, -_BIG), axis=-1)
-    rowrange = jnp.stack(
-        [jnp.floor(ymin) - 1.0, jnp.ceil(ymax) + 1.0],
+    xmin = jnp.min(jnp.where(vidx, xs, _BIG), axis=-1)
+    xmax = jnp.max(jnp.where(vidx, xs, -_BIG), axis=-1)
+    # Conservative pixel bounds for strip/column-block culling. Columns get
+    # a 2px margin: wedge extensions reach round_half_up(u) +- 1 of an edge
+    # intersection that stays inside the vertex x-extent, and pair/window
+    # fills reach at most extent + 0.5.
+    bounds = jnp.stack(
+        [jnp.floor(ymin) - 1.0, jnp.ceil(ymax) + 1.0,
+         jnp.floor(xmin) - 2.0, jnp.ceil(xmax) + 2.0],
         axis=-1).astype(jnp.int32)
 
-    return edges, wedges, gymax, rowrange, counts, nh, nw, colors
+    return edges, wedges, gymax, bounds, counts, nh, nw, colors
 
 
 @functools.partial(
@@ -494,7 +540,7 @@ def render_rgb_batch(factors: jnp.ndarray,
     strip_rows = strip_out * aa
     num_strips = hc // strip_rows
 
-    edges, wedges, gymax, rowrange, counts, nh, nw, colors = jax.vmap(
+    edges, wedges, gymax, bounds, counts, nh, nw, colors = jax.vmap(
         lambda f, n: _prepare(f, n, hc, wc, color_to_rgb, pil_exact)
     )(factors, num_sprites)
     vmax = edges.shape[2]
@@ -554,7 +600,7 @@ def render_rgb_batch(factors: jnp.ndarray,
             smem((1, 1, k), lambda b_, s: (b_, 0, 0)),        # counts
             smem((1, 1, k), lambda b_, s: (b_, 0, 0)),        # nh
             smem((1, 1, k), lambda b_, s: (b_, 0, 0)),        # nw
-            smem((1, k, 2), lambda b_, s: (b_, 0, 0)),        # rowrange
+            smem((1, k, 4), lambda b_, s: (b_, 0, 0)),        # bounds
             smem((1, 1, k), lambda b_, s: (b_, 0, 0)),        # gymax
             smem((1, k, vmax, _NE),
                  lambda b_, s: (b_, 0, 0, 0)),                # edges
@@ -575,7 +621,7 @@ def render_rgb_batch(factors: jnp.ndarray,
         counts.reshape(b, 1, k),
         nh.reshape(b, 1, k),
         nw.reshape(b, 1, k),
-        rowrange,
+        bounds,
         gymax.reshape(b, 1, k),
         edges,
         wedges,
