@@ -1,0 +1,207 @@
+"""End-to-end TPU training example: sharded envs feeding a sharded learner.
+
+The reference ships only a random-agent loop (example_run_loop.py); this
+script shows the pipeline the engine was built for: B environment lanes
+sharded over the 'envs' mesh axis step in lockstep inside one jitted
+program that also computes policy gradients — rollout, REINFORCE loss,
+and the optimizer update are a single XLA computation per iteration, with
+parameters replicated and gradient reductions riding ICI as XLA-inserted
+psums (SURVEY.md §5.8).
+
+The task is the BASELINE goal-finding env with SpriteFactors observations:
+the policy reads the padded factor slab, emits a sigmoid-squashed Gaussian
+over the 4-d SelectMove action, and learns to click the target sprite and
+drag it toward the goal. Dense FindGoalPosition rewards make a per-step
+advantage baseline sufficient.
+
+Usage:
+  python train_example.py [--num_envs=1024] [--iters=200] [--steps=20]
+"""
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+
+from spriteworld_tpu.core import actions as action_lib
+from spriteworld_tpu.core import distributions as distribs
+from spriteworld_tpu.core import environment as env_lib
+from spriteworld_tpu.core import generators as sprite_generators
+from spriteworld_tpu.core import renderers, tasks
+from spriteworld_tpu.parallel import env_mesh, env_sharding, \
+    replicated_sharding
+
+
+def build_train_env():
+    """Single-sprite goal finding with factor observations.
+
+    A deliberately learnable variant of the BASELINE scene: one large
+    sprite, an unfiltered dense FindGoalPosition reward, and a full-range
+    SelectMove — so REINFORCE shows visible progress within a few hundred
+    updates while exercising exactly the same engine pipeline.
+    """
+    dist = distribs.Product([
+        distribs.Continuous("x", 0.2, 0.8),
+        distribs.Continuous("y", 0.2, 0.8),
+        distribs.Discrete("shape", ["circle", "square"]),
+        distribs.Discrete("scale", [0.3]),
+        distribs.Continuous("c0", 0.0, 1.0),
+    ])
+    task = tasks.FindGoalPosition(
+        goal_position=(0.5, 0.5), terminate_distance=0.08)
+    return env_lib.Environment(
+        task=task,
+        action_space=action_lib.SelectMove(scale=0.5),
+        renderers={"factors": renderers.SpriteFactors(),
+                   "success": renderers.Success()},
+        init_sprites=sprite_generators.generate_sprites(dist, 1),
+        max_episode_length=20,
+        metadata={"name": "train_example_goal_finding"})
+
+
+class Policy(nn.Module):
+    """MLP over the flattened factor slab -> squashed-Gaussian action."""
+
+    hidden: int = 128
+    action_dim: int = 4
+
+    @nn.compact
+    def __call__(self, factors, mask):
+        # factors [B, K, F]; dead slots are zeroed by the mask so padding
+        # cannot leak into the policy.
+        x = (factors * mask[..., None]).reshape(factors.shape[0], -1)
+        x = nn.relu(nn.Dense(self.hidden)(x))
+        x = nn.relu(nn.Dense(self.hidden)(x))
+        mu = nn.Dense(self.action_dim)(x)
+        log_std = self.param(
+            "log_std", nn.initializers.constant(-1.0), (self.action_dim,))
+        return mu, jnp.broadcast_to(log_std, mu.shape)
+
+
+def sample_action(mu, log_std, key):
+    """a = sigmoid(z), z ~ N(mu, std); returns (action, log_prob)."""
+    std = jnp.exp(log_std)
+    z = mu + std * jax.random.normal(key, mu.shape)
+    a = jax.nn.sigmoid(z)
+    # Gaussian log-density + sigmoid change-of-variables.
+    logp = -0.5 * (((z - mu) / std) ** 2 + 2 * log_std
+                   + jnp.log(2 * jnp.pi))
+    log_det = jax.nn.log_sigmoid(z) + jax.nn.log_sigmoid(-z)
+    return a, (logp - log_det).sum(-1)
+
+
+def make_train_step(env, policy, optimizer, num_envs, rollout_steps,
+                    shard, repl):
+    """One jitted iteration: T-step rollout + REINFORCE update."""
+
+    def loss_fn(params, state, obs, key):
+        def body(carry, _):
+            state, obs, key, prev_r, prev_ok = carry
+            key, k_act = jax.random.split(key)
+            mu, log_std = policy.apply(
+                params, obs["factors"]["factors"], obs["factors"]["mask"])
+            actions, logp = sample_action(mu, log_std, k_act)
+            # The env transition is data for the learner, not part of the
+            # differentiated graph (REINFORCE): stop_gradient keeps reverse
+            #-mode AD out of the step program (whose auto-reset rejection
+            # sampling uses while_loops, which are not reverse-differentiable).
+            state, ts = env.step_batch(state, jax.lax.stop_gradient(actions))
+            state = jax.lax.stop_gradient(state)
+            ts = jax.lax.stop_gradient(ts)
+            reward = jnp.nan_to_num(ts.reward)
+            # FindGoalPosition rewards track goal distance, so the reward
+            # DELTA within an episode isolates this step's action from the
+            # scene's standing distance — a far lower-variance advantage
+            # than reward-minus-batch-mean. Steps without a same-episode
+            # predecessor (FIRST, or right after one) are masked out.
+            valid = prev_ok & ~ts.first()
+            adv = jnp.where(valid, reward - prev_r, 0.0)
+            out = (logp, adv, valid.astype(jnp.float32), reward,
+                   ts.observation["success"])
+            return (state, ts.observation, key, reward, ~ts.first()), out
+
+        prev_r = jnp.zeros((num_envs,), jnp.float32)
+        prev_ok = jnp.zeros((num_envs,), bool)
+        (state, obs, key, _, _), (logps, advs, ws, rewards, succ) = \
+            jax.lax.scan(body, (state, obs, key, prev_r, prev_ok),
+                         length=rollout_steps)
+        advs = jax.lax.stop_gradient(advs - advs.mean())
+        loss = -(logps * advs * ws).sum() / jnp.maximum(ws.sum(), 1.0)
+        metrics = {"reward_mean": rewards.mean(),
+                   "success_rate": succ.mean()}
+        return loss, (state, obs, key, metrics)
+
+    def train_step(params, opt_state, state, obs, key):
+        (loss, (state, obs, key, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, state, obs, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics["loss"] = loss
+        return params, opt_state, state, obs, key, metrics
+
+    obs_shard = jax.tree.map(lambda _: shard, env.observation_spec())
+    return jax.jit(
+        train_step,
+        donate_argnums=(1, 2, 3),
+        in_shardings=(repl, repl, shard, obs_shard, repl),
+        out_shardings=(repl, repl, shard, obs_shard, repl, repl))
+
+
+def train(num_envs=1024, iters=200, rollout_steps=20, seed=0,
+          log_every=20, mesh=None):
+    env = build_train_env()
+    mesh = mesh if mesh is not None else env_mesh()
+    shard = env_sharding(mesh)
+    repl = replicated_sharding(mesh)
+
+    policy = Policy()
+    optimizer = optax.adam(2e-3)
+
+    key = jax.random.key(seed)
+    key, k_init, k_reset = jax.random.split(key, 3)
+    keys = jax.device_put(jax.random.split(k_reset, num_envs), shard)
+    state, ts = jax.jit(env.reset_batch,
+                        out_shardings=(shard, shard))(keys)
+    obs = ts.observation
+    params = policy.init(
+        k_init, obs["factors"]["factors"], obs["factors"]["mask"])
+    opt_state = optimizer.init(params)
+
+    step_fn = make_train_step(
+        env, policy, optimizer, num_envs, rollout_steps, shard, repl)
+
+    history = []
+    t0 = time.time()
+    for it in range(iters):
+        params, opt_state, state, obs, key, m = step_fn(
+            params, opt_state, state, obs, key)
+        if it % log_every == 0 or it == iters - 1:
+            m = jax.device_get(m)
+            history.append(m)
+            sps = num_envs * rollout_steps * (it + 1) / (time.time() - t0)
+            print(f"iter {it:4d}  loss {float(m['loss']):+8.4f}  "
+                  f"reward {float(m['reward_mean']):+8.5f}  "
+                  f"success {float(m['success_rate']):.3f}  "
+                  f"({sps / 1e3:.0f}k env-steps/s)", flush=True)
+    return params, history
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--num_envs", type=int, default=1024)
+    p.add_argument("--iters", type=int, default=200)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+    train(num_envs=args.num_envs, iters=args.iters,
+          rollout_steps=args.steps, seed=args.seed)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
