@@ -179,9 +179,11 @@ def _downsample_mats(strip_out: int, aa: int, wc: int, w: int):
 
 def _fill_kernel(counts_ref, nh_ref, nw_ref, bounds_ref, gymax_ref,
                  edges_ref, wedges_ref, colors_ref,  # all SMEM
+                 edges_v_ref,  # VMEM [1, K, NE, V]: fields as lane vectors
                  l_ref, r_ref,  # VMEM
                  out_ref,
                  planes_ref, fill_ref,  # VMEM scratch
+                 xit_ref, wxt_ref, trow_ref,  # row-table scratch
                  *, num_slots: int, max_vertices: int, strip_rows: int,
                  num_strips_static: int, wc: int, pil_exact: bool,
                  bg_packed: float, unroll: bool = True,
@@ -244,6 +246,31 @@ def _fill_kernel(counts_ref, nh_ref, nw_ref, bounds_ref, gymax_ref,
         count = counts_ref[0, 0, k]
         hit = ((bounds_ref[0, k, 0] <= strip * strip_rows + strip_rows - 1)
                & (bounds_ref[0, k, 1] >= strip * strip_rows))
+
+        def row_tables(k):
+            """Per-(sprite, strip) row quantities, ALL edges at once.
+
+            Edge fields arrive as [1, V] lane vectors (edges_v_ref), so the
+            whole per-edge row math — in-range tests, crossing positions,
+            bottom-duplicate weights — is ~10 ops on [S, V] instead of ~10
+            ops per edge, and the block fill loop degenerates to 2 scratch
+            loads + 4 wide ops per edge with no fori carries.
+            """
+            def fld(i):
+                return edges_v_ref[0, k, i:i + 1, :]  # [1, V]
+
+            y0v, mv, x0v = fld(_E_Y0), fld(_E_M), fld(_E_X0)
+            inr = (fld(_E_SLANT) > 0.0) & (rows >= fld(_E_YMIN)) \
+                & (rows <= fld(_E_YMAX))  # [S, V]
+            xi = x0v + (rows - y0v) * mv
+            dup = inr & (rows == fld(_E_YMAX)) \
+                & (fld(_E_YMAX) < gymax_ref[0, 0, k])
+            wgt = inr.astype(jnp.float32) + dup.astype(jnp.float32)
+            xit_ref[...] = xi
+            wxt_ref[...] = wgt
+            trow_ref[:, 0:1] = wgt.sum(axis=1, keepdims=True)  # total
+            trow_ref[:, 1:2] = jnp.max(
+                jnp.where(wgt > 0, xi, -_BIG), axis=1, keepdims=True)
 
         # Shared per-edge math (v may be a Python int or a traced index;
         # SMEM scalar loads accept both). Wide quantities are computed on
@@ -308,27 +335,25 @@ def _fill_kernel(counts_ref, nh_ref, nw_ref, bounds_ref, gymax_ref,
                 colsm_b = cols_b - 0.5
                 colsp_b = cols_b + 0.5
 
-            if pil_exact and unroll:
-                # Full static unroll with SSA accumulators. Padded/dead
-                # edges have neutral fields, so no per-edge predication is
-                # needed (measured: predication + scratch-ref accumulation
-                # costs more than the padded edges' vector work).
-                gymax = gymax_ref[0, 0, k]
+            if pil_exact and not packed:
+                # Row-table fill: the pre-pass (row_tables) already holds
+                # every edge's crossing position and weight for this strip,
+                # so the per-edge work here is 2 width-1 scratch loads +
+                # 4 wide ops, statically unrolled with SSA accumulators —
+                # no per-edge row math, no fori carries. Padded edges have
+                # wgt 0 and cost only the wide compares.
                 zero_f = jnp.zeros_like(cols_b)
                 # Accumulate le (x_i <= c-0.5) and bc (x_i < c+0.5); the
                 # window count win = bc - le falls out for free since
                 # le subset-of bc — one fewer wide op per edge.
                 le, bc = zero_f, zero_f
-                total = jnp.zeros_like(rows)
-                rowmax = jnp.full_like(rows, -_BIG)
                 for v in range(max_vertices):
-                    wgt, xi, a, b = exact_terms(k, v, gymax,
-                                                colsm_b, colsp_b)
-                    le = le + wgt * a.astype(jnp.float32)
-                    bc = bc + wgt * b.astype(jnp.float32)
-                    total = total + wgt
-                    rowmax = jnp.maximum(
-                        rowmax, jnp.where(wgt > 0, xi, -_BIG))
+                    xiv = xit_ref[:, v:v + 1]
+                    wgtv = wxt_ref[:, v:v + 1]
+                    le = le + wgtv * (xiv <= colsm_b).astype(jnp.float32)
+                    bc = bc + wgtv * (xiv < colsp_b).astype(jnp.float32)
+                total = trow_ref[:, 0:1]
+                rowmax = trow_ref[:, 1:2]
                 fill_ref[:, sl] = trim(le, bc - le, total, rowmax,
                                        colsm_b, colsp_b)
 
@@ -348,31 +373,38 @@ def _fill_kernel(counts_ref, nh_ref, nw_ref, bounds_ref, gymax_ref,
                             k, v, cols_b)
                 mask = fill_ref[:, sl] > 0
             elif pil_exact:
+                # Packed lane canvas: rows/cols interleave on lanes, so the
+                # [1, V] row-table broadcast doesn't apply; keep the fully
+                # unrolled per-edge form (padded/dead edges have neutral
+                # fields, so no per-edge predication is needed).
                 gymax = gymax_ref[0, 0, k]
-
-                def edge_body(v, carry):
-                    le, bc, total, rowmax = carry
+                zero_f = jnp.zeros_like(cols_b)
+                le, bc = zero_f, zero_f
+                total = jnp.zeros_like(rows)
+                rowmax = jnp.full_like(rows, -_BIG)
+                for v in range(max_vertices):
                     wgt, xi, a, b = exact_terms(k, v, gymax,
                                                 colsm_b, colsp_b)
-                    return (le + wgt * a.astype(jnp.float32),
-                            bc + wgt * b.astype(jnp.float32),
-                            total + wgt,
-                            jnp.maximum(rowmax,
-                                        jnp.where(wgt > 0, xi, -_BIG)))
+                    le = le + wgt * a.astype(jnp.float32)
+                    bc = bc + wgt * b.astype(jnp.float32)
+                    total = total + wgt
+                    rowmax = jnp.maximum(
+                        rowmax, jnp.where(wgt > 0, xi, -_BIG))
+                fill_ref[:, sl] = trim(le, bc - le, total, rowmax,
+                                       colsm_b, colsp_b)
 
-                zero_f = jnp.zeros_like(cols_b)
-                le, bc, total, rowmax = jax.lax.fori_loop(
-                    0, count, edge_body,
-                    (zero_f, zero_f, jnp.zeros_like(rows),
-                     jnp.full_like(rows, -_BIG)))
-                filled = trim(le, bc - le, total, rowmax, colsm_b, colsp_b)
-                filled = jax.lax.fori_loop(
-                    0, count,
-                    lambda v, f: f | horiz_term(k, v, colsm_b, colsp_b),
-                    filled)
-                mask = jax.lax.fori_loop(
-                    0, count,
-                    lambda v, f: f | wedge_term(k, v, cols_b), filled) > 0
+                @pl.when(nh_ref[0, 0, k] > 0)
+                def _horiz_p(k=k):
+                    for v in range(max_vertices):
+                        fill_ref[:, sl] = fill_ref[:, sl] | horiz_term(
+                            k, v, colsm_b, colsp_b)
+
+                @pl.when(nw_ref[0, 0, k] > 0)
+                def _wedges_p(k=k):
+                    for v in range(max_vertices):
+                        fill_ref[:, sl] = fill_ref[:, sl] | wedge_term(
+                            k, v, cols_b)
+                mask = fill_ref[:, sl] > 0
             elif unroll:
                 parity = jnp.zeros(cols_b.shape, jnp.int32)
                 for v in range(max_vertices):
@@ -387,8 +419,12 @@ def _fill_kernel(counts_ref, nh_ref, nw_ref, bounds_ref, gymax_ref,
                 mask, colors_ref[0, 0, k], planes_ref[:, sl])
 
         if num_strips_static > 1 or len(col_blocks) > 1:
-            # Skip whole (sprite, strip, column-block) tiles the sprite's
-            # bounding box misses.
+            # Row tables once per (sprite, strip); then skip whole
+            # (sprite, strip, column-block) tiles the bounding box misses.
+            if pil_exact and not packed:
+                @pl.when((count > 0) & hit)
+                def _tables(k=k):
+                    row_tables(k)
             for blk in col_blocks:
                 gate = (count > 0) & hit
                 if blk is not None:
@@ -399,6 +435,8 @@ def _fill_kernel(counts_ref, nh_ref, nw_ref, bounds_ref, gymax_ref,
                 def _gated(k=k, blk=blk):
                     paint(k, blk)
         else:
+            if pil_exact and not packed:
+                row_tables(k)
             paint(k, col_blocks[0])
 
     # Unpack the packed-RGB plane once (all values are integers <= 2^24 and
@@ -607,6 +645,8 @@ def render_rgb_batch(factors: jnp.ndarray,
             smem((1, k, vmax, _NW),
                  lambda b_, s: (b_, 0, 0, 0)),                # wedges
             smem((1, 1, k), lambda b_, s: (b_, 0, 0)),        # colors packed
+            vmem((1, k, _NE, vmax),
+                 lambda b_, s: (b_, 0, 0, 0)),                # edge lane-vecs
             vmem((strip_out, strip_rows), lambda b_, s: (0, 0)),  # L (flip)
             vmem((wc, w), lambda b_, s: (0, 0)),              # R
         ],
@@ -615,6 +655,9 @@ def render_rgb_batch(factors: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM(cshape, jnp.float32),  # packed-RGB plane
             scratch_i32,                      # fill
+            pltpu.VMEM((strip_rows, vmax), jnp.float32),  # xi row table
+            pltpu.VMEM((strip_rows, vmax), jnp.float32),  # wgt row table
+            pltpu.VMEM((strip_rows, 8), jnp.float32),     # total/rowmax
         ],
         interpret=interpret,
     )(
@@ -626,6 +669,7 @@ def render_rgb_batch(factors: jnp.ndarray,
         edges,
         wedges,
         colors.reshape(b, 1, k),
+        edges.transpose(0, 1, 3, 2),  # [B, K, NE, V] fields as lane vectors
         jnp.asarray(l_host),
         jnp.asarray(r_host),
     )
