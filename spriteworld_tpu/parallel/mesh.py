@@ -27,15 +27,22 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     arguments are auto-detected from the metadata server, elsewhere they
     must be passed. Safe to call when already initialized (no-op).
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    # NOTE: must not touch the XLA backend before initialize() — even
+    # jax.process_count() would initialize it and make bring-up impossible.
+    if jax.distributed.is_initialized():
+        return
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id)
     except (ValueError, RuntimeError):
-        # Single-process environment (tests, one-chip benches): fine as-is.
+        if coordinator_address is not None:
+            # Explicit bring-up must not fail silently: a worker that
+            # cannot join its coordinator is a real error.
+            raise
+        # Auto-detected single-process environment (tests, one-chip
+        # benches): fine as-is.
         pass
 
 

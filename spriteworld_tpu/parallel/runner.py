@@ -93,16 +93,22 @@ class ShardedRunner:
         self._reset = jax.jit(
             env.reset_batch,
             out_shardings=((self._shard, self._shard)))
+        # Key-splitting and accumulator init run ON device with explicit
+        # out_shardings (a host device_put cannot target a multi-process
+        # global sharding; this path works on any mesh, incl. multi-host).
+        self._make_keys = jax.jit(
+            lambda key: jax.random.split(key, self.num_envs),
+            out_shardings=self._shard)
+        self._zero_returns = jax.jit(
+            lambda: jnp.zeros((self.num_envs,), jnp.float32),
+            out_shardings=self._shard)
         self._rollout_cache = {}
 
     # ------------------------------------------------------------------ #
     def reset(self, key):
-        keys = jax.device_put(
-            jax.random.split(key, self.num_envs), self._shard)
-        state, ts = self._reset(keys)
+        state, ts = self._reset(self._make_keys(key))
         # Per-lane in-progress return accumulator rides alongside the state.
-        self._ret_acc = jax.device_put(
-            jnp.zeros((self.num_envs,), jnp.float32), self._shard)
+        self._ret_acc = self._zero_returns()
         return state, ts
 
     def _actions(self, key, state):
@@ -160,13 +166,42 @@ class ShardedRunner:
             in_shardings=(shard, repl, shard),
             out_shardings=(shard, repl, shard, repl, ts_shard))
 
-    def rollout(self, state, key, num_steps: int, return_timesteps=False):
+    # ------------------------------------------------------------------ #
+    @property
+    def episode_returns(self) -> jnp.ndarray:
+        """Per-lane in-flight episode return accumulator (f32[num_envs]).
+
+        Checkpoint this alongside the EnvState and assign it back after
+        `restore_state` — otherwise returns of episodes already in flight
+        at save time restart from zero (see parallel/checkpoint.py).
+        """
+        if getattr(self, "_ret_acc", None) is None:
+            self._ret_acc = self._zero_returns()
+        return self._ret_acc
+
+    @episode_returns.setter
+    def episode_returns(self, value):
+        value = jnp.asarray(value, jnp.float32)
+        if value.shape != (self.num_envs,):
+            raise ValueError(
+                f"episode_returns must have shape ({self.num_envs},), got "
+                f"{value.shape}")
+        self._ret_acc = jax.device_put(value, self._shard) \
+            if self._shard.is_fully_addressable else value
+
+    def rollout(self, state, key, num_steps: int, return_timesteps=False,
+                episode_returns=None):
         """Run `num_steps` lockstep steps; returns (state, key, Metrics[, ts]).
 
         The whole chunk is one device program. `return_timesteps=True`
         additionally stacks every TimeStep (use small chunks: the obs trace
-        is [T, B, ...] in HBM).
+        is [T, B, ...] in HBM). `episode_returns` optionally seeds the
+        per-lane in-flight return accumulator (e.g. restored from a
+        checkpoint); by default the accumulator carried since the last
+        `reset()` is used.
         """
+        if episode_returns is not None:
+            self.episode_returns = episode_returns
         if int(num_steps) * self.num_envs >= 2**31:
             raise ValueError(
                 f"A single chunk of {num_steps} steps x {self.num_envs} "
@@ -175,11 +210,8 @@ class ShardedRunner:
         sig = (int(num_steps), bool(return_timesteps))
         if sig not in self._rollout_cache:
             self._rollout_cache[sig] = self._build_rollout(*sig)
-        if getattr(self, "_ret_acc", None) is None:
-            self._ret_acc = jax.device_put(
-                jnp.zeros((self.num_envs,), jnp.float32), self._shard)
         state, key, self._ret_acc, metrics, tss = self._rollout_cache[sig](
-            state, key, self._ret_acc)
+            state, key, self.episode_returns)
         # Counters leave the device as Python ints: cross-chunk accumulation
         # can never overflow (the i32 dtype only ever spans one chunk).
         metrics = metrics.replace(

@@ -114,6 +114,63 @@ def test_checkpoint_roundtrip_resumes_trajectory(tmp_path):
         np.asarray(s_a.factors), np.asarray(s_b.factors))
 
 
+def test_checkpoint_resume_preserves_inflight_episode_returns(tmp_path):
+    """Kill-and-resume: per-episode return metrics must match an
+    uninterrupted run, including episodes in flight at save time
+    (VERDICT r2: ShardedRunner.rollout used to silently zero-fill)."""
+    env = make_env()
+
+    # Uninterrupted: 14 steps in two chunks on one runner.
+    runner_a = ShardedRunner(env, num_envs=8)
+    state, _ = runner_a.reset(jax.random.key(7))
+    state, key, m1 = runner_a.rollout(state, jax.random.key(8), 7)
+    state, key, m2 = runner_a.rollout(state, key, 7)
+    want = m1 + m2
+
+    # Interrupted: identical first chunk, checkpoint mid-episode (7 steps
+    # into 20-step episodes), then a FRESH runner restores and continues.
+    runner_b = ShardedRunner(env, num_envs=8)
+    state_b, _ = runner_b.reset(jax.random.key(7))
+    state_b, key_b, n1 = runner_b.rollout(state_b, jax.random.key(8), 7)
+    ckpt = {"env_state": state_b, "key": key_b,
+            "episode_returns": runner_b.episode_returns}
+    save_state(str(tmp_path / "ck"), ckpt)
+    del runner_b
+
+    runner_c = ShardedRunner(env, num_envs=8)  # simulated restart
+    restored = restore_state(str(tmp_path / "ck"), ckpt)
+    state_c, key_c, n2 = runner_c.rollout(
+        restored["env_state"], restored["key"], 7,
+        episode_returns=restored["episode_returns"])
+    got = n1 + n2
+
+    assert int(got.steps) == int(want.steps)
+    assert int(got.episodes) == int(want.episodes)
+    assert int(got.successes) == int(want.successes)
+    np.testing.assert_allclose(
+        float(got.return_sum), float(want.return_sum), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(got.reward_sum), float(want.reward_sum), rtol=1e-5)
+
+
+def test_checkpoint_restore_fills_missing_fields(tmp_path):
+    """A checkpoint predating a state field restores with the new field
+    taken from `like` (default-fill migration), with a warning — instead
+    of failing or silently misaligning leaves (ADVICE r2)."""
+    old = {"a": jnp.arange(4.0), "key": jax.random.key(3)}
+    save_state(str(tmp_path / "old"), old)
+    like = {"a": jnp.zeros(4), "b": jnp.full((2,), 7, jnp.int32),
+            "key": jax.random.key(0)}
+    with pytest.warns(UserWarning, match="predates state field"):
+        restored = restore_state(str(tmp_path / "old"), like)
+    np.testing.assert_array_equal(np.asarray(restored["a"]),
+                                  np.arange(4.0))
+    np.testing.assert_array_equal(np.asarray(restored["b"]), [7, 7])
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(restored["key"])),
+        np.asarray(jax.random.key_data(old["key"])))
+
+
 def test_num_envs_must_divide_mesh():
     env = make_env()
     with pytest.raises(ValueError):
@@ -135,13 +192,21 @@ def test_initialize_multihost_wires_arguments(monkeypatch):
                           num_processes=4, process_id=2)]
 
     # Already-initialized: short-circuits before touching distributed.
-    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: True)
     mesh_lib.initialize_multihost()
     assert len(calls) == 1
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False)
 
-    # Single-process ValueError is swallowed (tests/one-chip benches).
-    monkeypatch.setattr(jax, "process_count", lambda: 1)
+    # Auto-detection failure without explicit coordinator is swallowed
+    # (tests/one-chip benches)...
     def boom(**kw):
         raise ValueError("requires multiple processes")
     monkeypatch.setattr(jax.distributed, "initialize", boom)
     mesh_lib.initialize_multihost()
+
+    # ...but an explicit bring-up that fails must raise.
+    with pytest.raises(ValueError):
+        mesh_lib.initialize_multihost("10.0.0.1:8476", 2, 0)
+
+    # (The REAL 2-process bring-up path is exercised end-to-end in
+    # tests/test_distributed.py.)
