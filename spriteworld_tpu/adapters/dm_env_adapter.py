@@ -112,6 +112,17 @@ class Environment(dm_env.Environment):
                 "the factor distribution is over-constrained and rejection "
                 "sampling found no in-support sample within "
                 "MAX_REJECTION_TRIES.")
+        if not bool(self._state.task_valid):
+            # Mirror sklearn's davies_bouldin_score ValueError, which the
+            # reference propagates when a Clustering task sees <2 populated
+            # clusters (tasks.py:207-215). Inside jit the engine can only
+            # flag it (EnvState.task_valid); raise at the host boundary.
+            raise ValueError(
+                "Task is undefined on the current state: fewer than 2 "
+                "clusters are populated, so the Davies-Bouldin clustering "
+                "metric does not exist (the reference's sklearn call raises "
+                "here). Check the config's cluster_distribs against its "
+                "scene distribution.")
 
     def reset(self) -> dm_env.TimeStep:
         self._state, ts = self._reset_fn(self._next_key())
@@ -210,4 +221,41 @@ class Environment(dm_env.Environment):
 
     @property
     def action_space(self):
-        return self._env.action_space
+        return HostActionSpace(self._env.action_space,
+                               rng=np.random.default_rng(
+                                   int(jax.random.randint(
+                                       self._next_key(), (), 0, 2**31 - 1))))
+
+
+class HostActionSpace:
+    """Reference-shaped view of an engine action space.
+
+    The engine's `sample(key)` is a traced function returning device arrays
+    (int32 for Embodied — the natural on-device dtype); reference-compatible
+    agents instead call `action_space.sample()` with no arguments and pass
+    the result straight to `dm_env` spec validation
+    (/root/reference/spriteworld/action_spaces.py:106-108, 216-218). This
+    wrapper samples host-side and returns values that `spec.validate`
+    accepts exactly: a list of int64 scalars for the Embodied list-spec, a
+    float32 vector for the click spaces. Everything else forwards to the
+    wrapped engine space.
+    """
+
+    def __init__(self, space, rng=None):
+        self._space = space
+        self._rng = rng if rng is not None else np.random.default_rng()
+
+    def action_spec(self):
+        return self._space.action_spec()
+
+    def sample(self):
+        spec = self._space.action_spec()
+        if isinstance(spec, (list, tuple)):  # Embodied: per-entry scalars
+            return [s.dtype.type(self._rng.integers(0, s.num_values))
+                    for s in spec]
+        return self._rng.uniform(
+            spec.minimum, spec.maximum,
+            size=spec.shape).astype(spec.dtype)
+
+    def __getattr__(self, name):
+        return getattr(self._space, name)

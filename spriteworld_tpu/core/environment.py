@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from spriteworld_tpu.core import state as state_lib
+from spriteworld_tpu.core.tasks import task_valid
 from spriteworld_tpu.core.state import EnvState, StepType, TimeStep
 from spriteworld_tpu.ops import geometry
 
@@ -109,7 +110,8 @@ class Environment:
             step_count=jnp.int32(0),
             reset_next=jnp.bool_(False),
             key=k_next,
-            sample_ok=ok)
+            sample_ok=ok,
+            task_valid=task_valid(self._task, factors, num))
 
     def reset(self, key):
         """Sample a fresh scene; returns (EnvState, FIRST TimeStep)."""
@@ -175,7 +177,8 @@ class Environment:
                 step_count=step_count,
                 reset_next=terminate,
                 key=key_next,
-                sample_ok=st.sample_ok)
+                sample_ok=st.sample_ok,
+                task_valid=task_valid(self._task, factors, st.num_sprites))
             return new_state, ts
 
         return jax.lax.cond(
@@ -242,7 +245,8 @@ class Environment:
             step_count=jnp.int32(0),
             reset_next=jnp.bool_(True),
             key=k_next,
-            sample_ok=ok)
+            sample_ok=ok,
+            task_valid=task_valid(self._task, factors, num))
 
     def sample_action(self, key):
         return self._action_space.sample(key)

@@ -98,6 +98,12 @@ class EnvState:
     # distributions (factor_distributions.py:248-249); the dm_env adapter
     # re-raises it host-side. SURVEY.md §5.3.
     sample_ok: jnp.ndarray = True  # bool scalar
+    # False when the task's reward/success are undefined on this state —
+    # currently only Clustering with <2 populated clusters, where the
+    # reference's sklearn call raises (tasks.py:207-215). Like sample_ok,
+    # the flag is raised host-side by the dm_env adapter; batched consumers
+    # can mask on it.
+    task_valid: jnp.ndarray = True  # bool scalar
 
     @property
     def alive(self) -> jnp.ndarray:

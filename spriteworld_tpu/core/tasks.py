@@ -141,6 +141,14 @@ class Clustering:
         return self._metric(factors, num_sprites) \
             >= self._termination_threshold
 
+    def valid(self, factors, num_sprites):
+        """True when >= 2 clusters have members — the states sklearn's
+        davies_bouldin_score accepts (the reference raises otherwise,
+        tasks.py:207-215; inside jit we flag instead of raising and the
+        dm_env adapter re-raises host-side)."""
+        member = self._membership(factors, num_sprites)
+        return jnp.any(member, axis=0).sum() >= 2
+
 
 _AGGREGATORS = {
     "sum": jnp.nansum,
@@ -183,3 +191,22 @@ class MetaAggregated:
         successes = jnp.stack(
             [t.success(factors, num_sprites) for t in self._subtasks])
         return self._termination_criterion(successes)
+
+    def valid(self, factors, num_sprites):
+        valids = jnp.stack(
+            [task_valid(t, factors, num_sprites) for t in self._subtasks])
+        return jnp.all(valids)
+
+
+def task_valid(task, factors, num_sprites) -> jnp.ndarray:
+    """Whether the task's reward/success are well-defined on this state.
+
+    Tasks without a `valid` method (NoReward, FindGoalPosition — whose NaN
+    rewards are contractual, reference tasks.py:144-146) are always valid;
+    Clustering is invalid with <2 populated clusters, where the reference's
+    sklearn call raises instead of returning a value.
+    """
+    fn = getattr(task, "valid", None)
+    if fn is None:
+        return jnp.bool_(True)
+    return fn(factors, num_sprites)
