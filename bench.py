@@ -222,7 +222,10 @@ def main(argv=None):
     chunks = 2 if args.quick else args.chunks
 
     if args.workload == "all":
-        todo = [("image64", 1), ("image64", 5)] + [
+        # image64 runs at AA=1 and AA=5 (the two BASELINE renderer modes);
+        # a user-requested --aa is added rather than silently ignored.
+        aa_list = [1, 5] + ([args.aa] if args.aa not in (1, 5) else [])
+        todo = [("image64", aa) for aa in aa_list] + [
             (n, None) for n in WORKLOADS if n != "image64"]
     else:
         todo = [(args.workload, args.aa)]
