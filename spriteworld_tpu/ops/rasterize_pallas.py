@@ -5,39 +5,36 @@ of /root/reference/spriteworld/renderers/pil_renderer.py:66-91): paint sprite
 polygons back-to-front on an `anti_aliasing`-supersampled canvas, box-average
 down to `image_size`, flip vertically to math coordinates.
 
-Why a kernel instead of the XLA formulation (ops/rasterize.py):
+Three kernels cover the hardware's sweet spots (`kernel_mode`):
 
-  * **Count-limited edge work.** XLA must test every pixel against all
-    MAX_VERTICES=30 padded edges of every sprite slot; the kernel's edge
-    loop is statically unrolled and each edge is predicated on the sprite's
-    true edge count (`pl.when`) — a triangle pays for 3 edges, not 30 —
-    and dead sprite slots and out-of-strip sprites are skipped whole.
-    Measured on v5e, per-edge CONTROL overhead (dynamic fori_loop trips,
-    scalar-field extraction, loop-carry copies) dominated every dynamic
-    variant of this kernel; the static unroll turns all field reads into
-    compile-time SMEM addresses and all accumulation into scratch-register
-    updates.
-  * **Rare-feature gating.** Horizontal-edge fills and vertex "wedges" of
-    Pillow's scanline algorithm only exist on a few sprites (axis-aligned
-    squares, unlucky truncations); whole per-sprite feature loops are
-    branch-skipped via precomputed feature counts.
-  * **VMEM residency.** The supersampled RGB planes live in VMEM scratch
-    across the whole sprite loop; only the final H*W*3 image leaves. The
-    box filter + vertical flip is folded into two small f32 matmuls (MXU).
+  * **Packed lane canvas** (aa=1, width < 128): the whole frame lives
+    flattened as [h*w/128, 128] so every vreg lane is busy; statically
+    unrolled, `pl.when`-predicated edge loops (`_fill_kernel`).
+  * **Scene-per-program transposed canvas** (`_fill_kernel_scene`) — the
+    AA>1 workhorse (the COBRA-canonical 64x64/AA=5 render): one program
+    paints `group` whole scenes on a [wc, hc] VMEM canvas with image ROWS
+    on lanes, consuming XLA-precomputed scanline tables through dynamic
+    sublane/lane windows sized to each sprite's bounding box. See its
+    docstring for the measured design rules (every structural choice here
+    — one SMEM operand, no per-tile gating, streamed tables, lane tiling,
+    compacted features — is worth multiple ms per 2048-scene batch on
+    v5e; AA=5 went 74 ms -> 18 ms over the sequence).
+  * **Row-strip grid** (`_fill_kernel`, multi-strip): bounded-VMEM
+    fallback for supersampled canvases too large for one program.
 
 Both fill modes of the XLA rasterizer are implemented:
 
   * `pil_exact=True`: Pillow's integer scanline fill in the sort-free
     per-pixel formulation (see ops/rasterize.py) — bit parity with the XLA
     path, hence with PIL at anti_aliasing=1.
-  * `pil_exact=False`: even-odd crossing test at pixel centers (~3x
+  * `pil_exact=False`: even-odd crossing test at pixel centers (~2x
     cheaper; at anti_aliasing>1 the subpixel differences vanish into the
     box average — the tolerance class the reference's own AA tests accept,
     tests/renderers/pil_renderer_test.py:68-72).
 
 All shapes are static at trace time. `render_rgb_batch(factors[B, K, 10],
-num_sprites[B])` is the fast path (the batch is a grid dimension); the
-unbatched `render_rgb` wraps it and also supports vmap.
+num_sprites[B])` is the fast path; the unbatched `render_rgb` wraps it and
+also supports vmap.
 """
 
 from __future__ import annotations
@@ -162,6 +159,266 @@ def _build_edge_tables(verts_c, counts, pil_exact: bool):
         [jnp.where(wactive, vy, -_BIG), lo, hi,
          wactive.astype(jnp.float32)], axis=-1)  # [K, V, _NW]
     return edges, wedges, gymax
+
+
+# Scalar-field indices in the packed scene table (compacted feature
+# triplets follow the scalars).
+_TS_COUNT, _TS_NF, _TS_COLOR, _TS_B0, _TS_B1, _TS_B2, _TS_B3 = range(7)
+_NS = 7
+
+
+def _fill_kernel_scene(*refs,
+                       num_slots: int, max_vertices: int,
+                       hc: int, wc: int, h: int, w: int,
+                       pil_exact: bool, bg_packed: float, lanczos: bool,
+                       cspan: int, group: int):
+    """One program = `group` whole scenes, on a TRANSPOSED canvas (AA>1).
+
+    Layout is the heart of this kernel: the packed-RGB canvas lives in VMEM
+    as [wc, hc] — image ROWS on the lane dimension, COLUMNS on sublanes.
+
+      * Scanline quantities (crossing positions, weights, row totals) are
+        per-row — as [1, hc] lane vectors they broadcast across sublanes
+        for free, so the per-edge wide work is ~4 ops on the window.
+      * Each sprite paints ONE dynamically-addressed sublane window
+        `canvas[pl.ds(cstart, cspan), :]` around its column bounding box —
+        no per-tile `pl.when` gating at all. The strip/chunk grids needed
+        ~150-390k predicated tile gates per 2048-scene batch; measured on
+        v5e those gates alone cost ~25-30 ms. Dead sprites and off-canvas
+        windows degrade to zero-trip `fori_loop`s (branchless skip).
+      * ALL per-scene tables arrive as ONE packed SMEM operand. Separate
+        SMEM inputs cost one blocking DMA each at program start (measured:
+        8 scalar operands ~= 19 us/program of pure latency); one table is
+        one DMA, and `group` scenes per program amortize it further.
+      * Both downsample passes run in-kernel on the MXU in transposed
+        space (h-pass: [w, wc] @ [wc, hc]; v-pass: [w, hc] @ [hc, h], the
+        vertical matrix carrying the flip), so no supersampled intermediate
+        ever leaves the core. The caller un-transposes the [B, 3, w, h]
+        result once in XLA.
+
+    The exact fill's hot loop touches NO memory beyond its own carries: the
+    per-edge scanline tables (crossing position xi and Pillow instance
+    weight; plus per-row totals and row maxima) are precomputed in XLA and
+    streamed in as VMEM operands (weights as int8, trimmed in-kernel into a
+    scratch table). The loop reads tile-aligned [8, hc] slabs, so each live
+    edge costs two register rows + four wide ops — measured, the
+    SMEM-scalar-load formulation paid ~190 cycles per edge in address math
+    and load latency alone. Pillow's rare horizontal-edge/wedge features
+    arrive pre-compacted as (row, lo, hi) integer intervals, so a sprite
+    pays per ACTIVE feature (usually 0-3), not per vertex.
+    """
+    if pil_exact:
+        (tab_ref, xt_ref, wt_ref,
+         rt_ref, lt_ref, out_ref, canvas_ref, wscr_ref) = refs
+        vp = xt_ref.shape[2]
+    else:
+        tab_ref, xt_ref, rt_ref, lt_ref, out_ref, canvas_ref = refs
+    half = 0.0 if pil_exact else 0.5
+    hcp = canvas_ref.shape[1]  # row dim padded to a 128-lane multiple
+    nlt_max = hcp // 128
+
+    def scene_body(g, _):
+        def S(k, i):
+            return tab_ref[g, k, i]
+
+        def F(k, j, c):
+            return tab_ref[g, k, _NS + j * 3 + c]
+
+        canvas_ref[...] = jnp.full((wc, hcp), bg_packed, jnp.float32)
+        for k in range(num_slots):
+            count = S(k, _TS_COUNT).astype(jnp.int32)
+            # Column window (sublane dim): bbox clamped, aligned down to 8.
+            clo = jnp.clip(S(k, _TS_B2).astype(jnp.int32), 0, wc - 1)
+            chi = jnp.clip(S(k, _TS_B3).astype(jnp.int32), 0, wc - 1)
+            clo8 = (clo // 8) * 8
+            nwin = pl.cdiv(chi - clo8 + 1, cspan)
+            # Row tiles (lane dim, 128 wide): only the 1-2 tiles the
+            # sprite's row bbox touches — wide ops shrink from
+            # [cspan, hcp] to [cspan, 128].
+            rlo = jnp.clip(S(k, _TS_B0).astype(jnp.int32), 0, hc - 1)
+            rhi = jnp.clip(S(k, _TS_B1).astype(jnp.int32), 0, hc - 1)
+            lt0 = (rlo // 128) * 128
+            nlt = rhi // 128 - rlo // 128 + 1
+            ntiles = jnp.where(count > 0, nwin * nlt, 0)
+
+            if pil_exact:
+                # Pillow's odd-total trim, vectorized over all edges at
+                # once (~20 wide ops/sprite): on rows with an odd instance
+                # total, drop ONE instance of the row maximum. The trimmed
+                # multiset follows the plain parity/window rule, so the
+                # hot loop needs no trim arithmetic. First-max selection
+                # is an iota/min-reduce (no cumsum needed).
+                @pl.when(count > 0)
+                def _trim(g=g, k=k):
+                    wgt_raw = wt_ref[g, k].astype(jnp.float32)  # [vp, hcp]
+                    xi_full = xt_ref[g, k]
+                    tot = jnp.sum(wgt_raw, axis=0, keepdims=True)
+                    odd = jnp.mod(tot, 2.0) == 1.0
+                    rmax = jnp.max(jnp.where(wgt_raw > 0, xi_full, -_BIG),
+                                   axis=0, keepdims=True)
+                    ismax = (wgt_raw > 0) & (xi_full == rmax)
+                    vio = jax.lax.broadcasted_iota(
+                        jnp.int32, (vp, hcp), 0)
+                    fidx = jnp.min(jnp.where(ismax, vio, vp), axis=0,
+                                   keepdims=True)
+                    first = vio == fidx
+                    wscr_ref[...] = wgt_raw - (odd & ismax
+                                               & first).astype(jnp.float32)
+
+            def win_body(idx, __, k=k, count=count, clo8=clo8,
+                         nlt=nlt, lt0=lt0):
+                wi = idx // nlt
+                li = idx - wi * nlt
+                # All terms are multiples of 8 / 128 by construction —
+                # hint it so Mosaic allows the dynamic offsets.
+                cstart = pl.multiple_of(
+                    jnp.minimum(clo8 + wi * cspan, wc - cspan), 8)
+                lstart = pl.multiple_of(lt0 + li * 128, 128)
+                cols = (cstart + jax.lax.broadcasted_iota(
+                    jnp.int32, (cspan, 1), 0)).astype(jnp.float32) + half
+                colsm = cols - 0.5
+                colsp = cols + 0.5
+                rows_t = (lstart + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, 128), 1)).astype(jnp.float32) + half
+
+                if pil_exact:
+                    # One accumulator holds both counts: acc = 1024*le + bc
+                    # (both <= ~60, exact in f32) — halves the big fori
+                    # carries. Edges are consumed 8 at a time: the loop
+                    # reads one tile-aligned [8, 128] slab per trip (the
+                    # pl.ds offsets are provably sublane/lane multiples)
+                    # and unrolls the 8 rows statically — measured ~4x
+                    # cheaper than per-edge dynamic single-row reads, and
+                    # padded rows are weight-0 neutral. The odd-total trim
+                    # is baked into the weight scratch (above), so the
+                    # fill decision is the plain parity/window rule.
+                    def chunk(c8, carry):
+                        base = pl.multiple_of(c8 * 8, 8)
+                        xis = xt_ref[g, k, pl.ds(base, 8),
+                                     pl.ds(lstart, 128)]
+                        wgs = wscr_ref[pl.ds(base, 8), pl.ds(lstart, 128)]
+                        for i in range(8):
+                            xi = xis[i:i + 1, :]
+                            wgt = wgs[i:i + 1, :]
+                            a = (xi <= colsm).astype(jnp.float32)
+                            b_ = (xi < colsp).astype(jnp.float32)
+                            carry = carry + (wgt * 1024.0) * a + wgt * b_
+                        return carry
+
+                    acc = jax.lax.fori_loop(
+                        0, pl.cdiv(count, 8), chunk,
+                        jnp.zeros((cspan, 128), jnp.float32))
+                    le = jnp.floor(acc * (1.0 / 1024.0))
+                    win = acc - le * 1025.0  # bc - le
+                    mask = ((jnp.mod(le, 2.0) == 1.0)
+                            | (win > 0)).astype(jnp.int32)
+
+                    # Compacted features: integer intervals on single rows.
+                    nf = S(k, _TS_NF).astype(jnp.int32)
+
+                    def fbody(j, acc_):
+                        frow = F(k, j, 0)
+                        flo = F(k, j, 1)
+                        fhi = F(k, j, 2)
+                        return acc_ | ((rows_t == frow)
+                                       & (cols >= flo)
+                                       & (cols <= fhi)).astype(jnp.int32)
+
+                    mask = jax.lax.fori_loop(0, nf, fbody, mask)
+                else:
+                    def cchunk(c8, acc):
+                        base = pl.multiple_of(c8 * 8, 8)
+                        xis = xt_ref[g, k, pl.ds(base, 8),
+                                     pl.ds(lstart, 128)]
+                        for i in range(8):
+                            acc = acc ^ (
+                                cols < xis[i:i + 1, :]).astype(jnp.int32)
+                        return acc
+
+                    mask = jax.lax.fori_loop(
+                        0, pl.cdiv(count, 8), cchunk,
+                        jnp.zeros((cspan, 128), jnp.int32))
+
+                old = canvas_ref[pl.ds(cstart, cspan), pl.ds(lstart, 128)]
+                canvas_ref[pl.ds(cstart, cspan), pl.ds(lstart, 128)] = \
+                    jnp.where(mask > 0, S(k, _TS_COLOR), old)
+                return 0
+
+            jax.lax.fori_loop(0, ntiles, win_body, 0)
+
+        # Unpack packed-RGB exactly (integers <= 2^24, power-of-two
+        # divisors) and downsample both axes on the MXU, transposed space.
+        p = canvas_ref[...]
+        rt = rt_ref[...]
+        lt = lt_ref[...]
+
+        _dims = (((1,), (0,)), ((), ()))
+
+        def split_dot(a, b, split_left):
+            """f32-accurate matmul in 2 bf16 MXU passes (vs HIGHEST's 6).
+
+            The non-tap operand is integer-valued <= 255 (bf16-exact); the
+            tap matrix is split hi+lo so the only error is the lo residual
+            quantization, ~2^-18 relative — absolute <~1e-3 on sums <= 324,
+            far inside the 0.5 margin of the PIL fixed-point rounding.
+            """
+            taps = a if split_left else b
+            hi = taps.astype(jnp.bfloat16)
+            lo = (taps - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            other = (b if split_left else a).astype(jnp.bfloat16)
+            args = ((hi, other), (lo, other)) if split_left \
+                else ((other, hi), (other, lo))
+            return sum(
+                jax.lax.dot_general(
+                    x, y, _dims, preferred_element_type=jnp.float32)
+                for x, y in args)
+
+        for c in range(3):
+            if c == 0:
+                ch = jnp.floor(p * (1.0 / 65536.0))
+            elif c == 1:
+                ch = (jnp.floor(p * (1.0 / 256.0))
+                      - jnp.floor(p * (1.0 / 65536.0)) * 256.0)
+            else:
+                ch = p - jnp.floor(p * (1.0 / 256.0)) * 256.0
+            if lanczos:
+                # Both pass inputs are exact uint8-range integers (the
+                # canvas, then the PIL-quantized h-pass), so split-tap
+                # 2-pass bf16 keeps the quantized outputs correct.
+                t = split_dot(rt, ch, split_left=True)     # [w, hc]
+                t = jnp.clip(jnp.floor(t + 0.5), 0.0, 255.0)
+                o = split_dot(t, lt, split_left=False)     # [w, h]
+                o = jnp.clip(jnp.floor(o + 0.5), 0.0, 255.0)
+            elif pil_exact:
+                # Box average in full f32 (rare mode; keeps legacy parity).
+                t = jax.lax.dot_general(
+                    rt, ch, _dims,
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+                o = jax.lax.dot_general(
+                    t, lt, _dims,
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+            else:
+                # Fast mode: single-pass bf16 (no exactness claim).
+                t = jax.lax.dot_general(
+                    rt.astype(jnp.bfloat16), ch.astype(jnp.bfloat16),
+                    _dims, preferred_element_type=jnp.float32)
+                o = jax.lax.dot_general(
+                    t.astype(jnp.bfloat16), lt.astype(jnp.bfloat16),
+                    _dims, preferred_element_type=jnp.float32)
+            if not lanczos:
+                o = jnp.round(o)  # box average -> nearest (round-half-even)
+            # u8 store: 4x less output traffic than f32 + cheap epilogue.
+            # (f32->u8 isn't a supported Mosaic cast; hop through int32.)
+            out_ref[g, c] = jnp.clip(o, 0.0, 255.0).astype(
+                jnp.int32).astype(jnp.uint8)
+        return 0
+
+    if group == 1:
+        scene_body(0, 0)
+    else:
+        jax.lax.fori_loop(0, group, scene_body, 0)
 
 
 def _downsample_mats(strip_out: int, aa: int, wc: int, w: int):
@@ -546,7 +803,7 @@ def _prepare(factors, num_sprites, hc, wc, color_to_rgb, pil_exact):
     jax.jit, static_argnames=(
         "image_size", "anti_aliasing", "bg_color", "color_to_rgb",
         "pil_exact", "downsample", "interpret", "strip_limit",
-        "unroll_multi"))
+        "unroll_multi", "kernel_mode"))
 def render_rgb_batch(factors: jnp.ndarray,
                      num_sprites: jnp.ndarray,
                      *,
@@ -558,11 +815,15 @@ def render_rgb_batch(factors: jnp.ndarray,
                      downsample: str = "auto",
                      interpret="auto",
                      strip_limit: int = 16000,
-                     unroll_multi: bool = False) -> jnp.ndarray:
+                     unroll_multi: bool = False,
+                     kernel_mode: str = "auto") -> jnp.ndarray:
     """Render a batch of scenes to u8[B, H, W, 3] (math orientation).
 
     factors: f32[B, K, 10]; num_sprites: i32[B]. `interpret="auto"` runs
     the Pallas interpreter off-TPU so the path works everywhere.
+    kernel_mode: "scene" = one program per scene (whole canvas in VMEM;
+    the AA>1 fast path), "strips" = row-strip grid (bounded VMEM for big
+    canvases), "auto" picks scene when the supersampled canvas fits.
     """
     if interpret == "auto":
         interpret = jax.default_backend() != "tpu"
@@ -602,6 +863,139 @@ def render_rgb_batch(factors: jnp.ndarray,
     # powers of two, so the kernel's index math reduces to shifts/masks.
     packed = (aa == 1 and num_strips == 1 and wc < 128
               and 128 % wc == 0 and (hc * wc) % 128 == 0)
+
+    if kernel_mode == "auto":
+        # Scene-per-program when the supersampled canvas fits VMEM with
+        # comfortable headroom (canvas + downsample operands + buffers).
+        # TPU-compiled only: the scene kernel's downsample matmul order
+        # differs from resample.pil_resize_lanczos by f32 sum-order ulps
+        # (+-1 on ~1e-4 of pixels), which is inside the documented TPU
+        # tolerance but would break the CPU paths' bit-exactness pledge.
+        kernel_mode = ("scene" if not packed and not interpret and k > 0
+                       and wc % 8 == 0 and hc * wc * 4 <= 2_500_000
+                       else "strips")
+    if kernel_mode == "scene" and not packed and wc % 8 == 0 and k > 0:
+        if lanczos:
+            rt_host = resample.pil_lanczos_matrix(wc, w).copy()   # [w, wc]
+            lt_host = resample.pil_lanczos_matrix(hc, h)[::-1].T.copy()
+        else:
+            l_host2, r_host2 = _downsample_mats(h, aa, wc, w)
+            rt_host = r_host2.T.copy()  # [w, wc]
+            lt_host = l_host2.T.copy()  # [hc, h] (flip folded)
+        cspan = min(wc, 80)
+        group = next((g for g in (4, 2) if b % g == 0), 1)
+        # One packed SMEM table per scene: scalars, then (pil_exact only)
+        # the ACTIVE Pillow features compacted to the front as
+        # (row, lo, hi) integer intervals — horizontal-edge fills and
+        # vertex wedges both reduce to closed integer column intervals on
+        # one row, so the kernel pays per active feature, not per vertex.
+        scal = jnp.stack([
+            counts.astype(jnp.float32),
+            (nh + nw).astype(jnp.float32),
+            colors,
+            bounds[..., 0].astype(jnp.float32),
+            bounds[..., 1].astype(jnp.float32),
+            bounds[..., 2].astype(jnp.float32),
+            bounds[..., 3].astype(jnp.float32),
+        ], axis=-1)  # [B, K, _NS]
+        if pil_exact:
+            nslots = 2 * vmax
+            # Candidates: horiz edges fill [hlo, hhi] on row y0 (the
+            # strict +-0.5 tests equal closed integer bounds); wedges fill
+            # [wlo, whi] on their vertex row. All values integer-valued.
+            act = jnp.concatenate([
+                edges[..., _E_HORIZ] > 0.0,
+                wedges[..., _W_ACTIVE] > 0.0,
+            ], axis=-1)  # [B, K, 2V]
+            cand = jnp.stack([
+                jnp.concatenate([edges[..., _E_Y0],
+                                 wedges[..., _W_ROW]], axis=-1),
+                jnp.concatenate([edges[..., _E_HLO],
+                                 wedges[..., _W_LO]], axis=-1),
+                jnp.concatenate([edges[..., _E_HHI],
+                                 wedges[..., _W_HI]], axis=-1),
+            ], axis=-1)  # [B, K, 2V, 3]
+            pos = jnp.cumsum(act, axis=-1) - 1
+            onehot = ((pos[..., None, :] == jnp.arange(nslots)[:, None])
+                      & act[..., None, :]).astype(jnp.float32)
+            # HIGHEST: the default TPU einsum is single-pass bf16, which
+            # rounds coordinates > 256 (canvas is 320 wide at AA=5).
+            ftab = jnp.einsum("bkjv,bkvc->bkjc", onehot, cand,
+                              precision=jax.lax.Precision.HIGHEST)
+            tab = jnp.concatenate(
+                [scal, ftab.reshape(b, k, nslots * 3)], axis=-1)
+        else:
+            tab = scal
+        feat = tab.shape[-1]
+
+        # Scanline tables, precomputed batched in XLA (see kernel docstring).
+        # The xi expression mirrors ops/rasterize.py term-for-term so the
+        # f32 roundings agree bit-for-bit with the reference formulation.
+        # The row dim is padded to a 128-lane multiple so the kernel can
+        # address whole lane tiles dynamically; padded rows are
+        # out-of-range for every edge (weight 0) and the padded vertical
+        # downsample rows are zero.
+        vp = -(-vmax // 8) * 8  # pad vertex rows to a sublane multiple
+        hcp = -(-hc // 128) * 128
+        half_t = 0.0 if pil_exact else 0.5
+        rows_t = jnp.arange(hcp, dtype=jnp.float32) + half_t  # [hcp]
+        lt_host = np.pad(lt_host, ((0, hcp - hc), (0, 0)))
+        e = jnp.pad(edges, ((0, 0), (0, 0), (0, vp - vmax), (0, 0)))
+        y0 = e[..., _E_Y0][..., None]
+        # Barrier between the multiply and the add: XLA may otherwise fuse
+        # x0 + d*m into an FMA, whose single rounding diverges from the
+        # mul-then-add f32 rounding of ops/rasterize.py (1-ulp xi drift
+        # flips crossing-vs-pixel-boundary compares).
+        prod = jax.lax.optimization_barrier(
+            (rows_t - y0) * e[..., _E_M][..., None])
+        xi_t = e[..., _E_X0][..., None] + prod  # [B, K, Vp, hc]
+        if pil_exact:
+            # Weights stream as int8 (4x less HBM traffic than f32); the
+            # odd-total trim (drop one instance of the row max) happens
+            # in-kernel, vectorized per sprite, into a scratch table.
+            ymax_t = e[..., _E_YMAX][..., None]
+            inr_t = ((e[..., _E_SLANT][..., None] > 0.0)
+                     & (rows_t >= e[..., _E_YMIN][..., None])
+                     & (rows_t <= ymax_t))
+            dup_t = inr_t & (rows_t == ymax_t) \
+                & (ymax_t < gymax[:, :, None, None])
+            wgt_t = inr_t.astype(jnp.int8) + dup_t.astype(jnp.int8)
+            tables = [xi_t, wgt_t]
+        else:
+            straddle_t = (y0 > rows_t) != (e[..., _E_Y1][..., None] > rows_t)
+            tables = [jnp.where(straddle_t, xi_t, -_BIG)]
+
+        kernel = functools.partial(
+            _fill_kernel_scene, num_slots=k, max_vertices=vmax,
+            hc=hc, wc=wc, h=h, w=w, pil_exact=pil_exact,
+            bg_packed=bg_packed, lanczos=lanczos, cspan=cspan, group=group)
+        vspec4 = pl.BlockSpec((group, k, vp, hcp), lambda b_: (b_, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        table_specs = [vspec4, vspec4] if pil_exact else [vspec4]
+        scratch = [pltpu.VMEM((wc, hcp), jnp.float32)]
+        if pil_exact:
+            scratch.append(pltpu.VMEM((vp, hcp), jnp.float32))  # trimmed wgt
+        out = pl.pallas_call(
+            kernel,
+            grid=(b // group,),
+            in_specs=[
+                pl.BlockSpec((group, k, feat), lambda b_: (b_, 0, 0),
+                             memory_space=pltpu.SMEM),
+                *table_specs,
+                pl.BlockSpec((w, wc), lambda b_: (0, 0),
+                             memory_space=pltpu.VMEM),       # Rh^T
+                pl.BlockSpec((hcp, h), lambda b_: (0, 0),
+                             memory_space=pltpu.VMEM),       # Lv^T (flip)
+            ],
+            out_specs=pl.BlockSpec(
+                (group, 3, w, h), lambda b_: (b_, 0, 0, 0),
+                memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, 3, w, h), jnp.uint8),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(tab, *tables, jnp.asarray(rt_host), jnp.asarray(lt_host))
+        # [B, 3, x, y] -> [B, y, x, 3] (y = final image row, flip done).
+        return out.transpose(0, 3, 2, 1)
     cshape = ((hc * wc) // 128, 128) if packed else (strip_rows, wc)
     kernel = functools.partial(
         _fill_kernel, num_slots=k, max_vertices=vmax,

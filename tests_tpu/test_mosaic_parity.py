@@ -7,10 +7,15 @@ suite compiles the kernel for the real TPU and pins every code path of
 ops/rasterize_pallas.py against the XLA reference rasterizer (itself pinned
 bit-exactly against PIL in tests/test_render.py):
 
-  * packed lane canvas: aa=1, wc < 128          (64x64, aa=1)
-  * single-strip, statically unrolled edge loop (32x32, aa=2)
-  * multi-strip fori_loop + row skipping        (64x64, aa=5)
+  * packed lane canvas: aa=1, wc < 128           (64x64, aa=1)
+  * scene-per-program transposed canvas (the AA>1 TPU path: streamed
+    scanline tables, dynamic sublane/lane windows, in-kernel Lanczos)
+    — the "auto" aa>1 cases
+  * legacy row-strip grid                        (kernel_mode="strips")
   * both fill modes (pil_exact True/False), box + Lanczos downsample
+
+At aa>1 all cases allow +-1 at rounding boundaries (downsample
+accumulation-order ulps vs the XLA einsum); aa=1 is bit-exact.
 """
 
 import numpy as np
@@ -36,25 +41,30 @@ def _scene_batch(seed, b=4, kmax=8):
 
 
 CASES = [
-    # (image_size, aa, pil_exact, downsample) -> kernel path exercised
-    ((64, 64), 1, True, "auto"),     # packed lane canvas, exact fill
-    ((64, 64), 1, False, "auto"),    # packed lane canvas, centroid fill
-    ((32, 32), 2, True, "auto"),     # single-strip unroll + Lanczos h-pass
-    ((32, 32), 2, False, "auto"),    # single-strip unroll + box matmuls
-    ((64, 64), 5, True, "auto"),     # multi-strip fori + Lanczos h-pass
-    ((64, 64), 5, False, "auto"),    # multi-strip fori + box matmuls
-    ((64, 64), 5, True, "box"),      # multi-strip exact fill, box filter
+    # (image_size, aa, pil_exact, downsample, kernel_mode) -> path
+    ((64, 64), 1, True, "auto", "auto"),    # packed lane canvas, exact
+    ((64, 64), 1, False, "auto", "auto"),   # packed lane canvas, centroid
+    ((32, 32), 2, True, "auto", "auto"),    # scene kernel, small canvas
+    ((32, 32), 2, False, "auto", "auto"),   # scene kernel, centroid
+    ((64, 64), 5, True, "auto", "auto"),    # scene kernel + Lanczos (COBRA)
+    ((64, 64), 5, False, "auto", "auto"),   # scene kernel, centroid + box
+    ((64, 64), 5, True, "box", "auto"),     # scene kernel, exact + box
+    ((64, 64), 5, True, "auto", "strips"),  # legacy strip grid, Lanczos
+    ((64, 64), 5, False, "auto", "strips"),  # legacy strip grid, centroid
 ]
 
 
-@pytest.mark.parametrize("image_size,aa,pil_exact,downsample", CASES)
+@pytest.mark.parametrize(
+    "image_size,aa,pil_exact,downsample,kernel_mode", CASES)
 @pytest.mark.parametrize("seed", [0, 1])
-def test_mosaic_matches_xla(image_size, aa, pil_exact, downsample, seed):
+def test_mosaic_matches_xla(image_size, aa, pil_exact, downsample,
+                            kernel_mode, seed):
     factors, nums = _scene_batch(seed)
     kwargs = dict(image_size=image_size, anti_aliasing=aa,
                   pil_exact=pil_exact, downsample=downsample)
     got = np.asarray(rasterize_pallas.render_rgb_batch(
-        factors, nums, interpret=False, **kwargs)).astype(np.int32)
+        factors, nums, interpret=False, kernel_mode=kernel_mode,
+        **kwargs)).astype(np.int32)
     want = np.stack([
         np.asarray(rasterize.render_rgb(factors[i], nums[i], **kwargs))
         for i in range(factors.shape[0])]).astype(np.int32)
