@@ -71,7 +71,8 @@ def _goal_finding_parts():
     return task, init_sprites
 
 
-def build_env(anti_aliasing: int = 1, image_size=(64, 64)):
+def build_env(anti_aliasing: int = 1, image_size=(64, 64),
+              pil_exact: bool = True):
     """Primary BASELINE workload: 6-sprite goal finding with image obs."""
     task, init_sprites = _goal_finding_parts()
     return env_lib.Environment(
@@ -80,7 +81,7 @@ def build_env(anti_aliasing: int = 1, image_size=(64, 64)):
         renderers={
             "image": renderers.ImageRenderer(
                 image_size=tuple(image_size), anti_aliasing=anti_aliasing,
-                color_to_rgb="hsv"),
+                color_to_rgb="hsv", pil_exact=pil_exact),
             "success": renderers.Success(),
         },
         init_sprites=init_sprites,
@@ -212,6 +213,9 @@ def main(argv=None):
                    help="timed chunk repetitions (best taken)")
     p.add_argument("--aa", type=int, default=1,
                    help="anti_aliasing for the image64 workload")
+    p.add_argument("--fast", action="store_true",
+                   help="image64 with pil_exact=False (centroid fill + box "
+                        "filter; no PIL bit-parity). 'all' records both.")
     p.add_argument("--quick", action="store_true",
                    help="small sizes for smoke runs")
     args = p.parse_args(argv)
@@ -225,17 +229,22 @@ def main(argv=None):
         # image64 runs at AA=1 and AA=5 (the two BASELINE renderer modes);
         # a user-requested --aa is added rather than silently ignored.
         aa_list = [1, 5] + ([args.aa] if args.aa not in (1, 5) else [])
-        todo = [("image64", aa) for aa in aa_list] + [
-            (n, None) for n in WORKLOADS if n != "image64"]
+        # Exact rows for every AA (the parity mode), plus the recorded
+        # pil_exact=False row at AA=5 so the cost of bit-parity is explicit.
+        todo = [("image64", aa, True) for aa in aa_list] + [
+            ("image64", 5, False)] + [
+            (n, None, True) for n in WORKLOADS if n != "image64"]
     else:
-        todo = [(args.workload, args.aa)]
+        todo = [(args.workload, args.aa, not args.fast)]
 
-    for name, aa in todo:
+    for name, aa, exact in todo:
         if name == "image64":
-            env = build_env(anti_aliasing=aa)
+            env = build_env(anti_aliasing=aa, pil_exact=exact)
             suffix = ("64x64render_6sprites" if aa == 1
                       else f"64x64render_aa{aa}_6sprites")
-            extra = {"anti_aliasing": aa}
+            if not exact:
+                suffix += "_fast"
+            extra = {"anti_aliasing": aa, "pil_exact": exact}
         else:
             suffix, builder = WORKLOADS[name]
             env = builder()

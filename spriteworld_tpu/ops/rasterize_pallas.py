@@ -163,8 +163,15 @@ def _build_edge_tables(verts_c, counts, pil_exact: bool):
 
 # Scalar-field indices in the packed scene table (compacted feature
 # triplets follow the scalars).
-_TS_COUNT, _TS_NF, _TS_COLOR, _TS_B0, _TS_B1, _TS_B2, _TS_B3 = range(7)
-_NS = 7
+_TS_COUNT, _TS_NF, _TS_COLOR, _TS_GYMAX, \
+    _TS_B0, _TS_B1, _TS_B2, _TS_B3 = range(8)
+_NS = 8
+
+# Sublane rows of the per-sprite edge-field block [8, Vp] (vertex index on
+# lanes): the kernel transposes each row to a [Vp, 1] column (free — a
+# vector reshape) to build scanline tables vectorized over all edges.
+_EF_Y0, _EF_M, _EF_X0, _EF_YMIN, _EF_YMAX, _EF_Y1 = range(6)
+_NEF = 8  # padded to a full sublane tile
 
 
 def _fill_kernel_scene(*refs,
@@ -198,24 +205,26 @@ def _fill_kernel_scene(*refs,
 
     The exact fill's hot loop touches NO memory beyond its own carries: the
     per-edge scanline tables (crossing position xi and Pillow instance
-    weight; plus per-row totals and row maxima) are precomputed in XLA and
-    streamed in as VMEM operands (weights as int8, trimmed in-kernel into a
-    scratch table). The loop reads tile-aligned [8, hc] slabs, so each live
-    edge costs two register rows + four wide ops — measured, the
+    weight) are built IN-KERNEL, vectorized over all edges at once, from a
+    tiny per-sprite field block ([8, Vp]: each field row transposes to a
+    [Vp, 1] column for free) into VMEM scratch — streaming precomputed
+    [Vp, hc] tables from XLA cost ~3 ms/2048 scenes in build + HBM traffic.
+    The hot loop reads tile-aligned [8, 128] slabs from scratch, so each
+    live edge costs two register rows + four wide ops — measured, the
     SMEM-scalar-load formulation paid ~190 cycles per edge in address math
     and load latency alone. Pillow's rare horizontal-edge/wedge features
     arrive pre-compacted as (row, lo, hi) integer intervals, so a sprite
     pays per ACTIVE feature (usually 0-3), not per vertex.
     """
     if pil_exact:
-        (tab_ref, xt_ref, wt_ref,
-         rt_ref, lt_ref, out_ref, canvas_ref, wscr_ref) = refs
-        vp = xt_ref.shape[2]
+        (tab_ref, ef_ref,
+         rt_ref, lt_ref, out_ref, canvas_ref, xscr_ref, wscr_ref) = refs
     else:
-        tab_ref, xt_ref, rt_ref, lt_ref, out_ref, canvas_ref = refs
+        tab_ref, ef_ref, rt_ref, lt_ref, out_ref, canvas_ref, xscr_ref \
+            = refs
+    vp = ef_ref.shape[3]
     half = 0.0 if pil_exact else 0.5
     hcp = canvas_ref.shape[1]  # row dim padded to a 128-lane multiple
-    nlt_max = hcp // 128
 
     def scene_body(g, _):
         def S(k, i):
@@ -225,6 +234,8 @@ def _fill_kernel_scene(*refs,
             return tab_ref[g, k, _NS + j * 3 + c]
 
         canvas_ref[...] = jnp.full((wc, hcp), bg_packed, jnp.float32)
+        rows_f = jax.lax.broadcasted_iota(
+            jnp.int32, (1, hcp), 1).astype(jnp.float32) + half
         for k in range(num_slots):
             count = S(k, _TS_COUNT).astype(jnp.int32)
             # Column window (sublane dim): bbox clamped, aligned down to 8.
@@ -241,17 +252,27 @@ def _fill_kernel_scene(*refs,
             nlt = rhi // 128 - rlo // 128 + 1
             ntiles = jnp.where(count > 0, nwin * nlt, 0)
 
-            if pil_exact:
-                # Pillow's odd-total trim, vectorized over all edges at
-                # once (~20 wide ops/sprite): on rows with an odd instance
-                # total, drop ONE instance of the row maximum. The trimmed
-                # multiset follows the plain parity/window rule, so the
-                # hot loop needs no trim arithmetic. First-max selection
-                # is an iota/min-reduce (no cumsum needed).
-                @pl.when(count > 0)
-                def _trim(g=g, k=k):
-                    wgt_raw = wt_ref[g, k].astype(jnp.float32)  # [vp, hcp]
-                    xi_full = xt_ref[g, k]
+            # Scanline tables for ALL edges at once (~30 ops on [Vp, hcp])
+            # from the sprite's [8, Vp] field block; for the exact fill,
+            # Pillow's odd-total trim (drop one instance of the row max on
+            # odd rows; first-max via iota/min-reduce) is applied here so
+            # the hot loop is the plain parity/window rule.
+            @pl.when(count > 0)
+            def _build(g=g, k=k):
+                fb = ef_ref[g, k]  # [8, Vp]
+
+                def col(fi):
+                    return fb[fi:fi + 1, :].reshape(vp, 1)
+
+                y0c, mc, x0c = col(_EF_Y0), col(_EF_M), col(_EF_X0)
+                xi_full = x0c + (rows_f - y0c) * mc  # [vp, hcp]
+                xscr_ref[...] = xi_full
+                if pil_exact:
+                    ymn, ymx = col(_EF_YMIN), col(_EF_YMAX)
+                    inr = (rows_f >= ymn) & (rows_f <= ymx)
+                    dup = inr & (rows_f == ymx) & (ymx < S(k, _TS_GYMAX))
+                    wgt_raw = (inr.astype(jnp.float32)
+                               + dup.astype(jnp.float32))
                     tot = jnp.sum(wgt_raw, axis=0, keepdims=True)
                     odd = jnp.mod(tot, 2.0) == 1.0
                     rmax = jnp.max(jnp.where(wgt_raw > 0, xi_full, -_BIG),
@@ -264,6 +285,9 @@ def _fill_kernel_scene(*refs,
                     first = vio == fidx
                     wscr_ref[...] = wgt_raw - (odd & ismax
                                                & first).astype(jnp.float32)
+                else:
+                    straddle = (y0c > rows_f) != (col(_EF_Y1) > rows_f)
+                    xscr_ref[...] = jnp.where(straddle, xi_full, -_BIG)
 
             def win_body(idx, __, k=k, count=count, clo8=clo8,
                          nlt=nlt, lt0=lt0):
@@ -294,15 +318,18 @@ def _fill_kernel_scene(*refs,
                     # fill decision is the plain parity/window rule.
                     def chunk(c8, carry):
                         base = pl.multiple_of(c8 * 8, 8)
-                        xis = xt_ref[g, k, pl.ds(base, 8),
-                                     pl.ds(lstart, 128)]
+                        xis = xscr_ref[pl.ds(base, 8), pl.ds(lstart, 128)]
                         wgs = wscr_ref[pl.ds(base, 8), pl.ds(lstart, 128)]
+                        wgs1024 = wgs * 1024.0
                         for i in range(8):
                             xi = xis[i:i + 1, :]
-                            wgt = wgs[i:i + 1, :]
-                            a = (xi <= colsm).astype(jnp.float32)
-                            b_ = (xi < colsp).astype(jnp.float32)
-                            carry = carry + (wgt * 1024.0) * a + wgt * b_
+                            # select(cmp, wgt, 0) is one VPU op vs the
+                            # two (convert + multiply) of wgt * cmp.f32
+                            carry = (carry
+                                     + jnp.where(xi <= colsm,
+                                                 wgs1024[i:i + 1, :], 0.0)
+                                     + jnp.where(xi < colsp,
+                                                 wgs[i:i + 1, :], 0.0))
                         return carry
 
                     acc = jax.lax.fori_loop(
@@ -328,8 +355,7 @@ def _fill_kernel_scene(*refs,
                 else:
                     def cchunk(c8, acc):
                         base = pl.multiple_of(c8 * 8, 8)
-                        xis = xt_ref[g, k, pl.ds(base, 8),
-                                     pl.ds(lstart, 128)]
+                        xis = xscr_ref[pl.ds(base, 8), pl.ds(lstart, 128)]
                         for i in range(8):
                             acc = acc ^ (
                                 cols < xis[i:i + 1, :]).astype(jnp.int32)
