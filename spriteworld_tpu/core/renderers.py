@@ -138,7 +138,8 @@ class ImageRenderer(AbstractRenderer):
                  color_to_rgb: Union[None, str, Callable] = None,
                  use_pallas: Union[bool, str] = "auto",
                  pil_exact: Union[bool, str] = "auto",
-                 downsample: str = "auto"):
+                 downsample: str = "auto",
+                 kernel_mode: str = "auto"):
         """By default observations are bit-exact vs the reference PILRenderer
         at every anti_aliasing: pil_exact="auto" resolves to the Pillow
         scanline fill, and downsample="auto" then picks the PIL-quantized
@@ -147,7 +148,13 @@ class ImageRenderer(AbstractRenderer):
         centroid sampling + box average — at anti_aliasing>1 the differences
         are sub-pixel and edge-local (the tolerance class the reference's
         own AA tests accept, pil_renderer_test.py:68-72) and it is ~2-4x
-        cheaper. downsample="box"/"lanczos" forces a filter."""
+        cheaper. downsample="box"/"lanczos" forces a filter.
+
+        kernel_mode selects the Pallas fill strategy ("scene", "strips", or
+        "auto"; see ops/rasterize_pallas.py). With "auto", if the preferred
+        kernel fails to trace/compile, the renderer logs one warning and
+        permanently falls back to the bounded-VMEM "strips" kernel for this
+        instance — one bad kernel can't take down the product path."""
         self._image_size = tuple(image_size)
         self._anti_aliasing = int(anti_aliasing)
         if self._anti_aliasing < 1 or min(self._image_size) < 1:
@@ -161,10 +168,37 @@ class ImageRenderer(AbstractRenderer):
             pil_exact = True
         self._pil_exact = bool(pil_exact)
         self._downsample = downsample
+        if kernel_mode not in ("auto", "scene", "strips"):
+            raise ValueError(f"Unknown kernel_mode: {kernel_mode!r}")
+        self._kernel_mode = kernel_mode
 
     @property
     def image_size(self):
         return self._image_size
+
+    def _pallas_call(self, fn, *args):
+        """Invoke a Pallas render fn with kernel-mode auto-fallback."""
+        kwargs = dict(
+            image_size=self._image_size,
+            anti_aliasing=self._anti_aliasing,
+            bg_color=self._bg_color,
+            color_to_rgb=self._color_to_rgb,
+            pil_exact=self._pil_exact,
+            downsample=self._downsample)
+        mode = self._kernel_mode
+        try:
+            return fn(*args, kernel_mode=mode, **kwargs)
+        except Exception:  # noqa: BLE001 — any trace/compile failure
+            if mode != "auto":
+                raise  # an explicit mode is the user's call; surface it
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ImageRenderer: preferred Pallas kernel failed to "
+                "trace/compile; falling back to kernel_mode='strips' for "
+                "this renderer.", exc_info=True)
+            self._kernel_mode = "strips"
+            return fn(*args, kernel_mode="strips", **kwargs)
 
     def _pallas_enabled(self) -> bool:
         if self._use_pallas == "auto":
@@ -182,14 +216,8 @@ class ImageRenderer(AbstractRenderer):
         if self._pallas_enabled():
             from spriteworld_tpu.ops import rasterize_pallas
 
-            return rasterize_pallas.render_rgb(
-                factors, num_sprites,
-                image_size=self._image_size,
-                anti_aliasing=self._anti_aliasing,
-                bg_color=self._bg_color,
-                color_to_rgb=self._color_to_rgb,
-                pil_exact=self._pil_exact,
-                downsample=self._downsample)
+            return self._pallas_call(
+                rasterize_pallas.render_rgb, factors, num_sprites)
         return rasterize.render_rgb(
             factors, num_sprites,
             image_size=self._image_size,
@@ -204,14 +232,8 @@ class ImageRenderer(AbstractRenderer):
         if self._pallas_enabled():
             from spriteworld_tpu.ops import rasterize_pallas
 
-            return rasterize_pallas.render_rgb_batch(
-                factors, num_sprites,
-                image_size=self._image_size,
-                anti_aliasing=self._anti_aliasing,
-                bg_color=self._bg_color,
-                color_to_rgb=self._color_to_rgb,
-                pil_exact=self._pil_exact,
-                downsample=self._downsample)
+            return self._pallas_call(
+                rasterize_pallas.render_rgb_batch, factors, num_sprites)
         return jax.vmap(lambda f, n: rasterize.render_rgb(
             f, n,
             image_size=self._image_size,

@@ -178,7 +178,7 @@ def _fill_kernel_scene(*refs,
                        num_slots: int, max_vertices: int,
                        hc: int, wc: int, h: int, w: int,
                        pil_exact: bool, bg_packed: float, lanczos: bool,
-                       cspan: int, group: int):
+                       cspan: int, group: int, interpret: bool):
     """One program = `group` whole scenes, on a TRANSPOSED canvas (AA>1).
 
     Layout is the heart of this kernel: the packed-RGB canvas lives in VMEM
@@ -265,7 +265,16 @@ def _fill_kernel_scene(*refs,
                     return fb[fi:fi + 1, :].reshape(vp, 1)
 
                 y0c, mc, x0c = col(_EF_Y0), col(_EF_M), col(_EF_X0)
-                xi_full = x0c + (rows_f - y0c) * mc  # [vp, hcp]
+                # The interpreter path is XLA-CPU-compiled, where an FMA's
+                # single rounding would diverge from ops/rasterize.py's
+                # mul-then-add f32 xi by 1 ulp — enough to flip
+                # crossing-vs-boundary compares; barrier the product.
+                # Mosaic does no FMA contraction (and can't lower the
+                # barrier), so the compiled TPU kernel skips it.
+                prod = (rows_f - y0c) * mc
+                if interpret:
+                    prod = jax.lax.optimization_barrier(prod)
+                xi_full = x0c + prod  # [vp, hcp]
                 xscr_ref[...] = xi_full
                 if pil_exact:
                     ymn, ymx = col(_EF_YMIN), col(_EF_YMAX)
@@ -919,11 +928,12 @@ def render_rgb_batch(factors: jnp.ndarray,
             counts.astype(jnp.float32),
             (nh + nw).astype(jnp.float32),
             colors,
+            gymax,
             bounds[..., 0].astype(jnp.float32),
             bounds[..., 1].astype(jnp.float32),
             bounds[..., 2].astype(jnp.float32),
             bounds[..., 3].astype(jnp.float32),
-        ], axis=-1)  # [B, K, _NS]
+        ], axis=-1)  # [B, K, _NS] — order must match the _TS_* indices
         if pil_exact:
             nslots = 2 * vmax
             # Candidates: horiz edges fill [hlo, hhi] on row y0 (the
@@ -953,52 +963,46 @@ def render_rgb_batch(factors: jnp.ndarray,
         else:
             tab = scal
         feat = tab.shape[-1]
+        assert feat == _NS + (2 * vmax * 3 if pil_exact else 0), \
+            "SMEM table layout out of sync with the _TS_* indices"
 
-        # Scanline tables, precomputed batched in XLA (see kernel docstring).
-        # The xi expression mirrors ops/rasterize.py term-for-term so the
-        # f32 roundings agree bit-for-bit with the reference formulation.
-        # The row dim is padded to a 128-lane multiple so the kernel can
-        # address whole lane tiles dynamically; padded rows are
-        # out-of-range for every edge (weight 0) and the padded vertical
-        # downsample rows are zero.
+        # Per-sprite edge-field block [B, K, _NEF, Vp] (vertex index on
+        # lanes): the kernel builds the scanline tables in-kernel from
+        # these six field rows (see its docstring). Vertex rows are padded
+        # to a sublane multiple with NEUTRAL fields: y-range inverted
+        # (weight 0 for the exact fill) and y1 == y0 == 0 (no straddle for
+        # the centroid fill), so kernel loops may safely overrun into
+        # padding. The canvas row dim is padded to a 128-lane multiple so
+        # the kernel can address whole lane tiles dynamically; the padded
+        # vertical downsample rows are zero.
         vp = -(-vmax // 8) * 8  # pad vertex rows to a sublane multiple
         hcp = -(-hc // 128) * 128
-        half_t = 0.0 if pil_exact else 0.5
-        rows_t = jnp.arange(hcp, dtype=jnp.float32) + half_t  # [hcp]
         lt_host = np.pad(lt_host, ((0, hcp - hc), (0, 0)))
-        e = jnp.pad(edges, ((0, 0), (0, 0), (0, vp - vmax), (0, 0)))
-        y0 = e[..., _E_Y0][..., None]
-        # Barrier between the multiply and the add: XLA may otherwise fuse
-        # x0 + d*m into an FMA, whose single rounding diverges from the
-        # mul-then-add f32 rounding of ops/rasterize.py (1-ulp xi drift
-        # flips crossing-vs-pixel-boundary compares).
-        prod = jax.lax.optimization_barrier(
-            (rows_t - y0) * e[..., _E_M][..., None])
-        xi_t = e[..., _E_X0][..., None] + prod  # [B, K, Vp, hc]
-        if pil_exact:
-            # Weights stream as int8 (4x less HBM traffic than f32); the
-            # odd-total trim (drop one instance of the row max) happens
-            # in-kernel, vectorized per sprite, into a scratch table.
-            ymax_t = e[..., _E_YMAX][..., None]
-            inr_t = ((e[..., _E_SLANT][..., None] > 0.0)
-                     & (rows_t >= e[..., _E_YMIN][..., None])
-                     & (rows_t <= ymax_t))
-            dup_t = inr_t & (rows_t == ymax_t) \
-                & (ymax_t < gymax[:, :, None, None])
-            wgt_t = inr_t.astype(jnp.int8) + dup_t.astype(jnp.int8)
-            tables = [xi_t, wgt_t]
-        else:
-            straddle_t = (y0 > rows_t) != (e[..., _E_Y1][..., None] > rows_t)
-            tables = [jnp.where(straddle_t, xi_t, -_BIG)]
+
+        def padf(field, fill):
+            return jnp.pad(edges[..., field],
+                           ((0, 0), (0, 0), (0, vp - vmax)),
+                           constant_values=fill)
+
+        ef = jnp.stack([
+            padf(_E_Y0, 0.0),
+            padf(_E_M, 0.0),
+            padf(_E_X0, 0.0),
+            padf(_E_YMIN, _BIG),
+            padf(_E_YMAX, -_BIG),
+            padf(_E_Y1, 0.0),
+        ], axis=-2)  # [B, K, 6, Vp] — order must match the _EF_* indices
+        ef = jnp.pad(ef, ((0, 0), (0, 0), (0, _NEF - 6), (0, 0)))
 
         kernel = functools.partial(
             _fill_kernel_scene, num_slots=k, max_vertices=vmax,
             hc=hc, wc=wc, h=h, w=w, pil_exact=pil_exact,
-            bg_packed=bg_packed, lanczos=lanczos, cspan=cspan, group=group)
-        vspec4 = pl.BlockSpec((group, k, vp, hcp), lambda b_: (b_, 0, 0, 0),
-                              memory_space=pltpu.VMEM)
-        table_specs = [vspec4, vspec4] if pil_exact else [vspec4]
-        scratch = [pltpu.VMEM((wc, hcp), jnp.float32)]
+            bg_packed=bg_packed, lanczos=lanczos, cspan=cspan, group=group,
+            interpret=bool(interpret))
+        scratch = [
+            pltpu.VMEM((wc, hcp), jnp.float32),   # packed-RGB canvas
+            pltpu.VMEM((vp, hcp), jnp.float32),   # xi scanline table
+        ]
         if pil_exact:
             scratch.append(pltpu.VMEM((vp, hcp), jnp.float32))  # trimmed wgt
         out = pl.pallas_call(
@@ -1007,7 +1011,9 @@ def render_rgb_batch(factors: jnp.ndarray,
             in_specs=[
                 pl.BlockSpec((group, k, feat), lambda b_: (b_, 0, 0),
                              memory_space=pltpu.SMEM),
-                *table_specs,
+                pl.BlockSpec((group, k, _NEF, vp),
+                             lambda b_: (b_, 0, 0, 0),
+                             memory_space=pltpu.VMEM),       # edge fields
                 pl.BlockSpec((w, wc), lambda b_: (0, 0),
                              memory_space=pltpu.VMEM),       # Rh^T
                 pl.BlockSpec((hcp, h), lambda b_: (0, 0),
@@ -1019,7 +1025,7 @@ def render_rgb_batch(factors: jnp.ndarray,
             out_shape=jax.ShapeDtypeStruct((b, 3, w, h), jnp.uint8),
             scratch_shapes=scratch,
             interpret=interpret,
-        )(tab, *tables, jnp.asarray(rt_host), jnp.asarray(lt_host))
+        )(tab, ef, jnp.asarray(rt_host), jnp.asarray(lt_host))
         # [B, 3, x, y] -> [B, y, x, 3] (y = final image row, flip done).
         return out.transpose(0, 3, 2, 1)
     cshape = ((hc * wc) // 128, 128) if packed else (strip_rows, wc)

@@ -198,3 +198,44 @@ def test_hsv_color_map_matches_colorsys():
                 np.uint8)
         diff = np.abs(ours_u8[i].astype(int) - want.astype(int))
         assert diff.max() <= 1, (hsv[i], ours_u8[i], want)
+
+
+def test_kernel_mode_auto_falls_back_to_strips(monkeypatch):
+    """One broken kernel must not take down the product render path:
+    kernel_mode='auto' retries with the bounded-VMEM strips kernel when the
+    preferred kernel fails to trace (VERDICT r3 item 6)."""
+    from spriteworld_tpu.core import renderers
+    from spriteworld_tpu.ops import rasterize_pallas
+
+    real = rasterize_pallas.render_rgb_batch
+    calls = []
+
+    def broken_scene(*args, **kwargs):
+        calls.append(kwargs.get("kernel_mode"))
+        if kwargs.get("kernel_mode") != "strips":
+            raise RuntimeError("scene kernel artificially broken")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(rasterize_pallas, "render_rgb_batch", broken_scene)
+
+    rng = np.random.default_rng(11)
+    f = jnp.asarray(_scene(rng, 3))[None]
+    n = jnp.asarray([3], jnp.int32)
+
+    r = renderers.ImageRenderer((32, 32), anti_aliasing=2, use_pallas=True)
+    got = np.asarray(r.render_batch(f, n, None))
+    assert calls == ["auto", "strips"]
+    assert r._kernel_mode == "strips"  # resolved permanently
+    want = np.asarray(rasterize.render_rgb(f[0], n[0], image_size=(32, 32),
+                                           anti_aliasing=2))
+    assert np.abs(got[0].astype(int) - want.astype(int)).max() <= 1
+
+    # A second call goes straight to strips (no re-raise churn).
+    r.render_batch(f, n, None)
+    assert calls == ["auto", "strips", "strips"]
+
+    # An explicitly requested mode is the user's call: surface the error.
+    r2 = renderers.ImageRenderer((32, 32), anti_aliasing=2, use_pallas=True,
+                                 kernel_mode="scene")
+    with pytest.raises(RuntimeError):
+        r2.render_batch(f, n, None)
