@@ -12,6 +12,13 @@ Run:  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
 
 (On real hardware the same harness runs unchanged: the mesh enumerates
 real chips instead of virtual CPU devices.)
+
+A second mode documents the SINGLE-CHIP saturation curve on the real TPU
+(the other axis of the scaling story): `--batch_sweep` times the image64
+AA=1 workload at 256..4096 envs on one chip and appends one row per batch
+size, showing where per-chip throughput saturates:
+
+    python scaling_bench.py --batch_sweep [--steps 200]
 """
 
 import argparse
@@ -27,12 +34,94 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
 
+def _time_rollout(runner, steps, reps=3):
+    import jax
+
+    state, _ = runner.reset(jax.random.key(0))
+    key = jax.random.key(1)
+    state, key, _ = runner.rollout(state, key, steps)  # warmup/compile
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state, key, m = runner.rollout(state, key, steps)
+        assert m.steps == runner.num_envs * steps
+        best = min(best, time.perf_counter() - t0)
+    return runner.num_envs * steps / best
+
+
+def _rewrite_keeping_other_metrics(out_path, metric, new_rows):
+    """Replace this metric's rows in the artifact, keep every other row."""
+    kept = []
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            kept = [json.loads(l) for l in f if l.strip()]
+        kept = [r for r in kept if r.get("metric") != metric]
+    with open(out_path, "w") as f:
+        for r in kept + new_rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def batch_sweep(args):
+    """Single-chip batch-saturation curve: image64/AA=1 at 256..8192 envs.
+
+    Uses bench.build_bench_fn — every observation leaf feeds an on-device
+    reduction, so the renderer cannot be dead-code-eliminated (a plain
+    ShardedRunner.rollout without an obs consumer measures a render-free
+    program: XLA drops the whole rasterizer as dead code).
+    """
+    import jax.numpy as jnp
+
+    from spriteworld_tpu.parallel import env_mesh, env_sharding
+
+    import bench as bench_mod
+
+    metric = "batch_saturation_image64_aa1_steps_per_sec"
+    mesh = env_mesh(jax.devices()[:1])
+    sharding = env_sharding(mesh)
+    env = bench_mod.build_env(anti_aliasing=1)
+    rows = []
+    for num_envs in (256, 512, 1024, 2048, 4096, 8192):
+        keys = jax.device_put(
+            jax.random.split(jax.random.key(0), num_envs), sharding)
+        state, _ = jax.jit(env.reset_batch,
+                           out_shardings=(sharding, sharding))(keys)
+        fn = bench_mod.build_bench_fn(env, num_envs, sharding)
+        key = jax.random.key(1)
+        acc = jnp.float32(0.0)
+        state, key, acc = fn(state, key, acc, args.steps)  # warmup/compile
+        float(acc)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            state, key, acc = fn(state, key, acc, args.steps)
+            float(acc)  # host fetch = the reliable sync point (see bench.py)
+            best = min(best, time.perf_counter() - t0)
+        sps = num_envs * args.steps / best
+        rows.append({
+            "metric": metric,
+            "devices": 1,
+            "num_envs": num_envs,
+            "steps_per_sec": round(sps, 1),
+            "us_per_env_step": round(1e6 / sps, 4),
+            "backend": jax.default_backend(),
+        })
+        print(json.dumps(rows[-1]), flush=True)
+    _rewrite_keeping_other_metrics(args.out, metric, rows)
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--envs_per_device", type=int, default=64)
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--out", default="SCALING.jsonl")
+    p.add_argument("--batch_sweep", action="store_true",
+                   help="single-chip image64/AA=1 saturation curve instead "
+                        "of the weak-scaling mesh curve")
     args = p.parse_args(argv)
+
+    if args.batch_sweep:
+        return batch_sweep(args)
 
     from spriteworld_tpu.parallel import ShardedRunner, env_mesh
 
@@ -77,9 +166,8 @@ def main(argv=None):
             row["note"] = "virtual devices share host cores"
         rows.append(row)
         print(json.dumps(rows[-1]), flush=True)
-    with open(args.out, "w") as f:
-        for r in rows:
-            f.write(json.dumps(r) + "\n")
+    _rewrite_keeping_other_metrics(
+        args.out, "weak_scaling_factors_env_steps_per_sec", rows)
     return 0
 
 

@@ -34,6 +34,12 @@ def build_env():
             goal_position=(0.5, 0.5), terminate_distance=0.1),
         action_space=actions.SelectMove(scale=0.25),
         renderers={"factors": renderers.SpriteFactors(),
+                   # A real image render (the product obs path) so the
+                   # cross-process rollout covers rasterization, not just
+                   # factor gathers. 16x16/AA=1 XLA path: cheap on the CPU
+                   # workers and bit-deterministic across mesh shapes.
+                   "image": renderers.ImageRenderer((16, 16),
+                                                    use_pallas=False),
                    "success": renderers.Success()},
         init_sprites=generators.generate_sprites(
             distribs.Product([
@@ -51,17 +57,33 @@ def run_rollout(mesh):
 
     from spriteworld_tpu.parallel import runner as runner_lib
 
-    runner = runner_lib.ShardedRunner(build_env(), num_envs=NUM_ENVS,
-                                      mesh=mesh)
+    import jax.numpy as jnp
+
+    env = build_env()
+    runner = runner_lib.ShardedRunner(env, num_envs=NUM_ENVS, mesh=mesh)
     state, _ = runner.reset(jax.random.key(0))
     state, _, metrics = runner.rollout(
         state, jax.random.key(1), num_steps=NUM_STEPS)
+
+    # Pixel checksum of the final sharded state's rendered observation:
+    # the sum is of exact small integers (u8 pixels, < 2^24 total), so it
+    # is reduction-order-invariant — identical across mesh shapes and
+    # process counts, and its computation is a cross-process collective.
+    def checksum(s):
+        succ = jax.vmap(env.success)(s)
+        img = env.observation_batch(s.factors, s.num_sprites, succ)["image"]
+        return img.astype(jnp.float32).sum()
+
+    image_sum = float(jax.jit(
+        checksum, in_shardings=(runner._shard,),
+        out_shardings=runner._repl)(state))
     return {
         "steps": metrics.steps,
         "episodes": metrics.episodes,
         "successes": metrics.successes,
         "return_sum": round(float(metrics.return_sum), 3),
         "reward_sum": round(float(metrics.reward_sum), 3),
+        "image_sum": image_sum,
     }
 
 

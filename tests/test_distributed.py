@@ -68,7 +68,8 @@ def test_two_process_distributed_rollout():
 
     # Replicated metrics must agree across processes.
     a, b = outs
-    for key in ("steps", "episodes", "successes", "return_sum", "reward_sum"):
+    for key in ("steps", "episodes", "successes", "return_sum", "reward_sum",
+                "image_sum"):
         assert a[key] == b[key], f"metric {key} diverged across processes"
 
     # And match the identical rollout on the in-process 8-device mesh.
@@ -80,3 +81,6 @@ def test_two_process_distributed_rollout():
     assert local["successes"] == a["successes"]
     assert local["return_sum"] == pytest.approx(a["return_sum"], abs=1e-2)
     assert local["reward_sum"] == pytest.approx(a["reward_sum"], abs=1e-2)
+    # Rendered pixels are u8 ints, so the checksum is exact: the image
+    # observation path must be bit-identical across mesh/process shapes.
+    assert local["image_sum"] == a["image_sum"]
