@@ -254,9 +254,13 @@ def _fill_kernel_scene(*refs,
 
             # Scanline tables for ALL edges at once (~30 ops on [Vp, hcp])
             # from the sprite's [8, Vp] field block; for the exact fill,
-            # Pillow's odd-total trim (drop one instance of the row max on
-            # odd rows; first-max via iota/min-reduce) is applied here so
-            # the hot loop is the plain parity/window rule.
+            # Pillow's odd-total trim (drop one instance of the row maximum
+            # on odd rows; first-max via iota/min-reduce) is applied here
+            # so the hot loop is the plain parity/window rule. Measured on
+            # v5e: building only the 1-2 bbox lane tiles (fori over nlt
+            # with pl.ds stores) is ~11% SLOWER than this one full-width
+            # pass — dynamic-offset scratch stores cost more than the
+            # saved wide ops.
             @pl.when(count > 0)
             def _build(g=g, k=k):
                 fb = ef_ref[g, k]  # [8, Vp]
@@ -838,7 +842,7 @@ def _prepare(factors, num_sprites, hc, wc, color_to_rgb, pil_exact):
     jax.jit, static_argnames=(
         "image_size", "anti_aliasing", "bg_color", "color_to_rgb",
         "pil_exact", "downsample", "interpret", "strip_limit",
-        "unroll_multi", "kernel_mode"))
+        "unroll_multi", "kernel_mode", "scene_cspan", "scene_group"))
 def render_rgb_batch(factors: jnp.ndarray,
                      num_sprites: jnp.ndarray,
                      *,
@@ -851,7 +855,9 @@ def render_rgb_batch(factors: jnp.ndarray,
                      interpret="auto",
                      strip_limit: int = 16000,
                      unroll_multi: bool = False,
-                     kernel_mode: str = "auto") -> jnp.ndarray:
+                     kernel_mode: str = "auto",
+                     scene_cspan: Optional[int] = None,
+                     scene_group: Optional[int] = None) -> jnp.ndarray:
     """Render a batch of scenes to u8[B, H, W, 3] (math orientation).
 
     factors: f32[B, K, 10]; num_sprites: i32[B]. `interpret="auto"` runs
@@ -917,8 +923,14 @@ def render_rgb_batch(factors: jnp.ndarray,
             l_host2, r_host2 = _downsample_mats(h, aa, wc, w)
             rt_host = r_host2.T.copy()  # [w, wc]
             lt_host = l_host2.T.copy()  # [hc, h] (flip folded)
-        cspan = min(wc, 80)
-        group = next((g for g in (4, 2) if b % g == 0), 1)
+        # Scene-kernel tuning knobs (measured on v5e, 64x64/AA=5/6 sprites;
+        # see PROGRESS notes): cspan is the sublane window span each sprite
+        # paints — wide enough for typical sprite bboxes (scale<=0.3 at
+        # AA=5 is <=96 columns -> usually one window), narrow enough not to
+        # waste VPU rows on background.
+        cspan = scene_cspan if scene_cspan else min(wc, 80)
+        group = scene_group if scene_group \
+            else next((g for g in (4, 2) if b % g == 0), 1)
         # One packed SMEM table per scene: scalars, then (pil_exact only)
         # the ACTIVE Pillow features compacted to the front as
         # (row, lo, hi) integer intervals — horizontal-edge fills and
