@@ -239,3 +239,29 @@ def test_kernel_mode_auto_falls_back_to_strips(monkeypatch):
                                  kernel_mode="scene")
     with pytest.raises(RuntimeError):
         r2.render_batch(f, n, None)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_pil_parity_degenerate_stress(seed):
+    """Adversarial parity fuzz for the unified feature pass: tiny scales
+    force truncation-collision point edges (degenerate horizontal edges
+    that can coexist with wedges at the same vertex), axis-aligned angles
+    force real horizontal edges, and high-vertex shapes maximize both.
+    Pixel-identical vs live PIL at AA=1."""
+    rng = np.random.default_rng(100 + seed)
+    k = 6
+    f = np.tile(state_lib.DEFAULT_FACTORS, (k, 1)).astype(np.float32)
+    f[:, state_lib.X] = rng.uniform(0.1, 0.9, k)
+    f[:, state_lib.Y] = rng.uniform(0.1, 0.9, k)
+    # Collision-heavy shapes: circle (30 verts), spokes, stars.
+    f[:, state_lib.SHAPE] = rng.choice([3, 8, 9, 10, 11, 12], k)
+    # Half axis-aligned (horizontal edges), half arbitrary.
+    f[:, state_lib.ANGLE] = np.where(
+        np.arange(k) % 2 == 0, rng.choice([0.0, 90.0, 180.0], k),
+        rng.uniform(0, 360, k))
+    # Tiny scales: many vertices truncate onto the same pixel.
+    f[:, state_lib.SCALE] = rng.uniform(0.02, 0.07, k)
+    f[:, state_lib.C0:state_lib.C2 + 1] = rng.integers(30, 256, (k, 3))
+    ours = _ours_render(f, k)
+    ref = _ref_render(f, k)
+    np.testing.assert_array_equal(ours, ref)
