@@ -319,7 +319,7 @@ def _fill_kernel_scene(*refs,
                     jnp.int32, (1, 128), 1)).astype(jnp.float32) + half
 
                 if pil_exact:
-                    # One accumulator holds both counts: acc = 1024*le + bc
+                    # One accumulator holds both counts: acc = 1025*le + win
                     # (both <= ~60, exact in f32) — halves the big fori
                     # carries. Edges are consumed 8 at a time: the loop
                     # reads one tile-aligned [8, 128] slab per trip (the
@@ -333,16 +333,20 @@ def _fill_kernel_scene(*refs,
                         base = pl.multiple_of(c8 * 8, 8)
                         xis = xscr_ref[pl.ds(base, 8), pl.ds(lstart, 128)]
                         wgs = wscr_ref[pl.ds(base, 8), pl.ds(lstart, 128)]
-                        wgs1024 = wgs * 1024.0
+                        wgs1025 = wgs * 1025.0
                         for i in range(8):
                             xi = xis[i:i + 1, :]
-                            # select(cmp, wgt, 0) is one VPU op vs the
-                            # two (convert + multiply) of wgt * cmp.f32
-                            carry = (carry
-                                     + jnp.where(xi <= colsm,
-                                                 wgs1024[i:i + 1, :], 0.0)
-                                     + jnp.where(xi < colsp,
-                                                 wgs[i:i + 1, :], 0.0))
+                            # Nested selects: an le-edge contributes 1025w
+                            # (le subset-of bc, so it is in both counts),
+                            # a window-only edge w — one add per edge
+                            # instead of two, and select(cmp, wgt, 0) is
+                            # one VPU op vs the two of wgt * cmp.f32. The
+                            # 1025 packing decodes exactly below via the
+                            # power-of-two 2^-10 multiply.
+                            carry = carry + jnp.where(
+                                xi <= colsm, wgs1025[i:i + 1, :],
+                                jnp.where(xi < colsp,
+                                          wgs[i:i + 1, :], 0.0))
                         return carry
 
                     acc = jax.lax.fori_loop(
