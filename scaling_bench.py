@@ -15,7 +15,7 @@ real chips instead of virtual CPU devices.)
 
 A second mode documents the SINGLE-CHIP saturation curve on the real TPU
 (the other axis of the scaling story): `--batch_sweep` times the image64
-AA=1 workload at 256..4096 envs on one chip and appends one row per batch
+AA=1 workload at 256..8192 envs on one chip and appends one row per batch
 size, showing where per-chip throughput saturates:
 
     python scaling_bench.py --batch_sweep [--steps 200]
@@ -136,17 +136,7 @@ def main(argv=None):
         mesh = env_mesh(devices[:n])
         num_envs = args.envs_per_device * n
         runner = ShardedRunner(env, num_envs=num_envs, mesh=mesh)
-        state, _ = runner.reset(jax.random.key(0))
-        key = jax.random.key(1)
-        # Warmup/compile chunk, then best of 3 timed chunks.
-        state, key, _ = runner.rollout(state, key, args.steps)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            state, key, m = runner.rollout(state, key, args.steps)
-            assert m.steps == num_envs * args.steps
-            best = min(best, time.perf_counter() - t0)
-        sps = num_envs * args.steps / best
+        sps = _time_rollout(runner, args.steps)
         if base is None:
             base = sps
         row = {

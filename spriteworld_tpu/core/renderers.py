@@ -177,7 +177,16 @@ class ImageRenderer(AbstractRenderer):
         return self._image_size
 
     def _pallas_call(self, fn, *args):
-        """Invoke a Pallas render fn with kernel-mode auto-fallback."""
+        """Invoke a Pallas render fn with kernel-mode auto-fallback.
+
+        Scope: the fallback catches kernel TRACE/LOWERING failures in
+        every context — eager or while tracing under an outer jit
+        (Pallas kernels are traced at call time, which is how the known
+        failure class surfaces). A failure at an outer jit's late Mosaic
+        COMPILE stage happens after this frame returns and cannot be
+        intercepted here; probing it eagerly would cost a full extra
+        kernel compile per renderer instance.
+        """
         kwargs = dict(
             image_size=self._image_size,
             anti_aliasing=self._anti_aliasing,
@@ -188,9 +197,18 @@ class ImageRenderer(AbstractRenderer):
         mode = self._kernel_mode
         try:
             return fn(*args, kernel_mode=mode, **kwargs)
-        except Exception:  # noqa: BLE001 — any trace/compile failure
+        except Exception as preferred_err:  # noqa: BLE001 — see below
             if mode != "auto":
                 raise  # an explicit mode is the user's call; surface it
+            # Retry on the bounded-VMEM strips kernel. Pin it ONLY if the
+            # retry succeeds: if strips fails too, the error is not the
+            # kernel's (bad inputs, OOM, ...) — surface the original and
+            # leave the mode on "auto" so a later valid call still gets
+            # the preferred kernel.
+            try:
+                out = fn(*args, kernel_mode="strips", **kwargs)
+            except Exception:
+                raise preferred_err
             import logging
 
             logging.getLogger(__name__).warning(
@@ -198,7 +216,7 @@ class ImageRenderer(AbstractRenderer):
                 "trace/compile; falling back to kernel_mode='strips' for "
                 "this renderer.", exc_info=True)
             self._kernel_mode = "strips"
-            return fn(*args, kernel_mode="strips", **kwargs)
+            return out
 
     def _pallas_enabled(self) -> bool:
         if self._use_pallas == "auto":

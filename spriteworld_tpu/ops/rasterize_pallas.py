@@ -928,10 +928,25 @@ def render_rgb_batch(factors: jnp.ndarray,
             rt_host = r_host2.T.copy()  # [w, wc]
             lt_host = l_host2.T.copy()  # [hc, h] (flip folded)
         # Scene-kernel tuning knobs (measured on v5e, 64x64/AA=5/6 sprites;
-        # see PROGRESS notes): cspan is the sublane window span each sprite
+        # see PERF_NOTES.md): cspan is the sublane window span each sprite
         # paints — wide enough for typical sprite bboxes (scale<=0.3 at
         # AA=5 is <=96 columns -> usually one window), narrow enough not to
         # waste VPU rows on background.
+        if scene_cspan is not None and (
+                scene_cspan % 8 or not 8 <= scene_cspan <= wc):
+            # The kernel promises Mosaic 8-aligned dynamic sublane offsets
+            # (cstart = clo8 + wi*cspan); an unaligned span would be
+            # silently miscompiled, so reject it loudly.
+            raise ValueError(
+                f"scene_cspan must be a multiple of 8 in [8, {wc}]; got "
+                f"{scene_cspan}")
+        if scene_group is not None and (scene_group < 1
+                                        or b % scene_group):
+            # grid = (b // group,): a non-divisor would silently leave the
+            # trailing scenes unrendered.
+            raise ValueError(
+                f"scene_group must divide the batch size {b}; got "
+                f"{scene_group}")
         cspan = scene_cspan if scene_cspan else min(wc, 80)
         group = scene_group if scene_group \
             else next((g for g in (4, 2) if b % g == 0), 1)

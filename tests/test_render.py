@@ -265,3 +265,43 @@ def test_pil_parity_degenerate_stress(seed):
     ours = _ours_render(f, k)
     ref = _ref_render(f, k)
     np.testing.assert_array_equal(ours, ref)
+
+
+def test_kernel_mode_auto_no_pin_on_nonkernel_error(monkeypatch):
+    """If the strips retry ALSO fails (bad inputs, not a kernel break),
+    the original error surfaces and the mode stays 'auto' so a later
+    valid call still gets the preferred kernel."""
+    from spriteworld_tpu.core import renderers
+    from spriteworld_tpu.ops import rasterize_pallas
+
+    calls = []
+
+    def always_broken(*args, **kwargs):
+        calls.append(kwargs.get("kernel_mode"))
+        raise ValueError("malformed factors")
+
+    monkeypatch.setattr(rasterize_pallas, "render_rgb_batch", always_broken)
+
+    r = renderers.ImageRenderer((32, 32), anti_aliasing=2, use_pallas=True)
+    with pytest.raises(ValueError, match="malformed factors"):
+        r.render_batch(jnp.zeros((1, 3, 10)), jnp.asarray([3]), None)
+    assert calls == ["auto", "strips"]
+    assert r._kernel_mode == "auto"  # not pinned
+
+
+def test_scene_kernel_knob_validation():
+    """Invalid scene_cspan/scene_group raise instead of silently
+    miscompiling (unaligned sublane windows) or truncating the grid."""
+    from spriteworld_tpu.ops import rasterize_pallas
+
+    f = jnp.zeros((4, 2, 10))
+    n = jnp.ones((4,), jnp.int32)
+    kw = dict(image_size=(32, 32), anti_aliasing=2, interpret=True,
+              kernel_mode="scene")
+    with pytest.raises(ValueError, match="scene_cspan"):
+        rasterize_pallas.render_rgb_batch(f, n, scene_cspan=50, **kw)
+    with pytest.raises(ValueError, match="scene_group"):
+        rasterize_pallas.render_rgb_batch(f, n, scene_group=3, **kw)
+    # Valid values still render.
+    rasterize_pallas.render_rgb_batch(f, n, scene_cspan=16, scene_group=2,
+                                      **kw)

@@ -1,7 +1,9 @@
 """One-step-per-workload smoke on the live TPU backend.
 
-Each of the five BASELINE workload graphs (BASELINE.md:25-28; builders
-shared with bench.py) must reset and step end-to-end on the real chip.
+Every BASELINE workload graph (BASELINE.md:25-28; builders shared with
+bench.py) — the five workloads, with image64 in all three recorded modes
+(AA=1, AA=5 exact, AA=5 fast), seven env builds total — must reset and
+step end-to-end on the real chip.
 This gate exists because round 3 shipped a kernel whose trace error only
 manifested on the TPU auto-selected path (VERDICT r3 item 5): a tiny-batch
 reset + 2 steps here catches any break in the product render path before a
