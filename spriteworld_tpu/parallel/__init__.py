@@ -10,6 +10,6 @@ multi-host bring-up over DCN.
 from spriteworld_tpu.parallel.mesh import (  # noqa: F401
     env_mesh, env_sharding, initialize_multihost, replicated_sharding)
 from spriteworld_tpu.parallel.runner import (  # noqa: F401
-    Metrics, ShardedRunner)
+    EvalStats, Metrics, ShardedRunner)
 from spriteworld_tpu.parallel.checkpoint import (  # noqa: F401
     restore_state, save_state)

@@ -62,6 +62,17 @@ class Metrics:
         return self.return_sum / jnp.maximum(self.episodes, 1)
 
 
+@struct.dataclass
+class EvalStats:
+    """Per-episode evaluation aggregates (see ShardedRunner.evaluate)."""
+
+    episodes: int
+    mean_return: float
+    std_return: float
+    ci95_return: float
+    success_rate: float
+
+
 class ShardedRunner:
     """Steps a batch of envs sharded over a device mesh.
 
@@ -220,3 +231,60 @@ class ShardedRunner:
         if return_timesteps:
             return state, key, metrics, tss
         return state, key, metrics
+
+    # ------------------------------------------------------------------ #
+    def evaluate(self, key, num_episodes: int, chunk_steps: int = 128,
+                 max_chunks: int = 1000) -> "EvalStats":
+        """Policy evaluation: run until >= `num_episodes` episodes finish.
+
+        The TPU-shaped replacement for the reference's per-episode eval
+        loop (example_run_loop.py:72-80): all lanes run in lockstep
+        chunks; per-episode returns and successes are recovered exactly
+        on the host from the stacked timesteps (NaN rewards excluded the
+        same way the reference's np.nanmean does). Returns `EvalStats`
+        with mean/std/95%-CI of episode returns and the success rate.
+
+        Episodes still in flight when the target is reached are
+        discarded (no length bias toward short episodes beyond the
+        cutoff chunk).
+        """
+        import numpy as np
+
+        state, _ = self.reset(key)
+        key = jax.random.fold_in(key, 1)
+        acc = np.zeros((self.num_envs,), np.float64)
+        returns = []
+        successes = []
+        for _ in range(max_chunks):
+            if len(returns) >= num_episodes:
+                break
+            state, key, _, tss = self.rollout(
+                state, key, chunk_steps, return_timesteps=True)
+            rew = np.nan_to_num(np.asarray(tss.reward, np.float64))
+            last = np.asarray(tss.last())
+            succ = np.asarray(tss.observation["success"]) \
+                if "success" in tss.observation else np.zeros_like(last)
+            for t in range(rew.shape[0]):
+                acc += rew[t]
+                done = last[t]
+                if done.any():
+                    returns.extend(acc[done].tolist())
+                    successes.extend(np.asarray(succ[t][done]).tolist())
+                    acc[done] = 0.0
+        else:
+            raise RuntimeError(
+                f"evaluate() hit max_chunks={max_chunks} with only "
+                f"{len(returns)}/{num_episodes} episodes; is the env "
+                "terminating?")
+        returns_arr = np.asarray(returns[:num_episodes], np.float64)
+        succ_arr = np.asarray(successes[:num_episodes], np.float64)
+        n = len(returns_arr)
+        std = float(returns_arr.std(ddof=1)) if n > 1 else 0.0
+        sem = std / np.sqrt(n) if n > 1 else 0.0
+        return EvalStats(
+            episodes=n,
+            mean_return=float(returns_arr.mean()),
+            std_return=std,
+            ci95_return=1.96 * float(sem),
+            success_rate=float(succ_arr.mean()),
+        )

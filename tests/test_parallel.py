@@ -210,3 +210,63 @@ def test_initialize_multihost_wires_arguments(monkeypatch):
 
     # (The REAL 2-process bring-up path is exercised end-to-end in
     # tests/test_distributed.py.)
+
+
+def test_evaluate_per_episode_stats():
+    """evaluate() recovers per-episode returns exactly: align the episode
+    set with one on-device Metrics chunk and the aggregates must agree."""
+    env = make_env()
+
+    # Reference chunk: how many episodes finish in one 16-step chunk of
+    # the identical stream evaluate() will run (same reset key, same
+    # rollout key derivation), and their on-device return sum.
+    ref = ShardedRunner(env, num_envs=8)
+    state, _ = ref.reset(jax.random.key(0))
+    key = jax.random.fold_in(jax.random.key(0), 1)
+    _, _, m = ref.rollout(state, key, 48)
+    assert m.episodes > 1
+
+    runner = ShardedRunner(env, num_envs=8)
+    stats = runner.evaluate(jax.random.key(0), num_episodes=m.episodes,
+                            chunk_steps=48)
+    assert stats.episodes == m.episodes
+    # Same episode set -> the per-episode mean must match the on-device
+    # sum (f32 on device vs f64 on host).
+    assert stats.mean_return == pytest.approx(
+        float(m.return_sum) / int(m.episodes), rel=1e-5)
+    assert stats.std_return >= 0
+    assert stats.ci95_return == pytest.approx(
+        1.96 * stats.std_return / np.sqrt(m.episodes))
+    assert 0.0 <= stats.success_rate <= 1.0
+
+    # Larger targets span multiple chunks and still return exactly N.
+    stats2 = runner.evaluate(jax.random.key(3), num_episodes=25,
+                             chunk_steps=48)
+    assert stats2.episodes == 25
+
+
+def test_record_episode_and_save_gif(tmp_path):
+    from spriteworld_tpu.utils import media
+
+    env = make_env()
+    env._renderers["image"] = renderers.ImageRenderer((16, 16)).bind(
+        env.max_sprites)
+    frames = media.record_episode(env, jax.random.key(2), max_steps=6)
+    assert frames.dtype == np.uint8
+    assert frames.ndim == 4 and frames.shape[-1] == 3
+    assert 2 <= frames.shape[0] <= 7
+
+    path = media.save_gif(frames, str(tmp_path / "ep.gif"), scale=2)
+    from PIL import Image
+
+    img = Image.open(path)
+    # PIL merges identical consecutive frames (random clicks can miss the
+    # sprite), so n_frames is a lower bound.
+    assert 1 <= img.n_frames <= frames.shape[0]
+    assert img.size == (32, 32)
+
+    # Distinct synthetic frames round-trip with the full frame count.
+    rng = np.random.default_rng(0)
+    synth = rng.integers(0, 255, (5, 16, 16, 3)).astype(np.uint8)
+    p2 = media.save_gif(synth, str(tmp_path / "synth.gif"))
+    assert Image.open(p2).n_frames == 5
