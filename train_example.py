@@ -176,18 +176,25 @@ def train(num_envs=1024, iters=200, rollout_steps=20, seed=0,
         env, policy, optimizer, num_envs, rollout_steps, shard, repl)
 
     history = []
-    t0 = time.time()
+    t1 = None
     for it in range(iters):
         params, opt_state, state, obs, key, m = step_fn(
             params, opt_state, state, obs, key)
+        if it == 0:
+            jax.device_get(m)  # sync: everything after this is steady state
+            t1 = time.time()
         if it % log_every == 0 or it == iters - 1:
             m = jax.device_get(m)
             history.append(m)
-            sps = num_envs * rollout_steps * (it + 1) / (time.time() - t0)
             print(f"iter {it:4d}  loss {float(m['loss']):+8.4f}  "
                   f"reward {float(m['reward_mean']):+8.5f}  "
-                  f"success {float(m['success_rate']):.3f}  "
-                  f"({sps / 1e3:.0f}k env-steps/s)", flush=True)
+                  f"success {float(m['success_rate']):.3f}", flush=True)
+    jax.device_get(m)
+    if iters > 1:
+        sps = num_envs * rollout_steps * (iters - 1) / (time.time() - t1)
+        print(f"steady-state training throughput: {sps / 1e6:.2f}M "
+              "env-steps/s (rollout + REINFORCE update, post-compile)",
+              flush=True)
     return params, history
 
 
