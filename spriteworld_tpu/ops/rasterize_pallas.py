@@ -907,7 +907,8 @@ def render_rgb_batch(factors: jnp.ndarray,
     # whole frame can live flattened as [h*w/128, 128]. Divisors of 128 are
     # powers of two, so the kernel's index math reduces to shifts/masks.
     packed = (aa == 1 and num_strips == 1 and wc < 128
-              and 128 % wc == 0 and (hc * wc) % 128 == 0)
+              and 128 % wc == 0 and (hc * wc) % 128 == 0
+              and kernel_mode != "scene")
 
     if kernel_mode == "auto":
         # Scene-per-program when the supersampled canvas fits VMEM with

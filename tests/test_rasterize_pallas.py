@@ -52,13 +52,14 @@ def test_matches_xla_rasterizer(pil_exact, aa, seed):
 
 
 @pytest.mark.parametrize("pil_exact", [True, False])
-@pytest.mark.parametrize("aa", [2, 5])
+@pytest.mark.parametrize("aa", [1, 2, 5])
 @pytest.mark.parametrize("seed", [0, 1])
 def test_scene_kernel_matches_xla(pil_exact, aa, seed):
     """Scene-per-program kernel (the AA>1 TPU path; auto picks it only on
-    TPU, so force it here). Fill masks are exact; the in-kernel downsample
-    accumulates in a different order than the XLA einsum, so +-1 at
-    rounding boundaries."""
+    TPU, so force it here — incl. aa=1, where an explicit "scene" must
+    override the packed-canvas dispatch). Fill masks are exact; at aa>1
+    the in-kernel downsample accumulates in a different order than the
+    XLA einsum, so +-1 at rounding boundaries; aa=1 is bit-exact."""
     factors, num = random_scene(seed)
     want = rasterize.render_rgb(
         factors, num, image_size=(32, 32), anti_aliasing=aa,
@@ -68,7 +69,10 @@ def test_scene_kernel_matches_xla(pil_exact, aa, seed):
         pil_exact=pil_exact, interpret=True, kernel_mode="scene")
     want = np.asarray(want).astype(np.int32)
     got = np.asarray(got).astype(np.int32)
-    assert np.abs(got - want).max() <= 1
+    if aa == 1:
+        np.testing.assert_array_equal(got, want)
+    else:
+        assert np.abs(got - want).max() <= 1
 
 
 def test_bg_and_colormap_and_occlusion():
