@@ -19,3 +19,14 @@ def test_train_step_runs_and_improves():
     assert np.isfinite(float(last["loss"]))
     # Dense rewards: a learning policy must beat its own untrained start.
     assert float(last["reward_mean"]) > float(first["reward_mean"])
+
+
+def test_image_policy_train_step_runs():
+    """The rendered-RGB CNN pipeline (rasterizer feeding a conv policy,
+    one fused rollout+update program) executes and stays finite."""
+    _, history = train_example.train(
+        num_envs=16, iters=3, rollout_steps=4, seed=0, log_every=2,
+        obs_mode="image", image_size=(16, 16))
+    for m in history:
+        assert np.isfinite(float(m["loss"]))
+        assert np.isfinite(float(m["reward_mean"]))

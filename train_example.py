@@ -16,6 +16,11 @@ advantage baseline sufficient.
 
 Usage:
   python train_example.py [--num_envs=1024] [--iters=200] [--steps=20]
+                          [--obs=factors|image]
+
+--obs=image swaps in the rendered-RGB observation and a bf16 conv policy
+(ConvPolicy): the rasterizer feeds the MXU inside the same fused program
+— the full pixel-based production pipeline.
 """
 
 import argparse
@@ -37,13 +42,16 @@ from spriteworld_tpu.parallel import env_mesh, env_sharding, \
     replicated_sharding
 
 
-def build_train_env():
-    """Single-sprite goal finding with factor observations.
+def build_train_env(obs: str = "factors", image_size=(64, 64)):
+    """Single-sprite goal finding with factor or image observations.
 
     A deliberately learnable variant of the BASELINE scene: one large
     sprite, an unfiltered dense FindGoalPosition reward, and a full-range
     SelectMove — so REINFORCE shows visible progress within a few hundred
     updates while exercising exactly the same engine pipeline.
+    obs="image" swaps in the rasterizer (64x64 RGB by default) so the
+    full production path — render on-device, MXU conv policy, fused
+    update — runs as one program.
     """
     dist = distribs.Product([
         distribs.Continuous("x", 0.2, 0.8),
@@ -54,14 +62,20 @@ def build_train_env():
     ])
     task = tasks.FindGoalPosition(
         goal_position=(0.5, 0.5), terminate_distance=0.08)
+    if obs == "image":
+        obs_renderers = {
+            "image": renderers.ImageRenderer(image_size, color_to_rgb="hsv"),
+            "success": renderers.Success()}
+    else:
+        obs_renderers = {"factors": renderers.SpriteFactors(),
+                         "success": renderers.Success()}
     return env_lib.Environment(
         task=task,
         action_space=action_lib.SelectMove(scale=0.5),
-        renderers={"factors": renderers.SpriteFactors(),
-                   "success": renderers.Success()},
+        renderers=obs_renderers,
         init_sprites=sprite_generators.generate_sprites(dist, 1),
         max_episode_length=20,
-        metadata={"name": "train_example_goal_finding"})
+        metadata={"name": f"train_example_goal_finding_{obs}"})
 
 
 class Policy(nn.Module):
@@ -83,36 +97,75 @@ class Policy(nn.Module):
         return mu, jnp.broadcast_to(log_std, mu.shape)
 
 
-def sample_action(mu, log_std, key):
-    """a = sigmoid(z), z ~ N(mu, std); returns (action, log_prob)."""
+class ConvPolicy(nn.Module):
+    """CNN over rendered RGB observations -> squashed-Gaussian action.
+
+    Strided convs in bf16 keep the pixel path on the MXU; the head and
+    the distribution parameters stay f32.
+    """
+
+    hidden: int = 128
+    action_dim: int = 4
+
+    @nn.compact
+    def __call__(self, image):
+        x = image.astype(jnp.bfloat16) / 255.0  # u8[B, H, W, 3]
+        for feat in (16, 32, 64):
+            x = nn.relu(nn.Conv(feat, (4, 4), strides=(2, 2),
+                                dtype=jnp.bfloat16)(x))
+        x = x.reshape(x.shape[0], -1).astype(jnp.float32)
+        x = nn.relu(nn.Dense(self.hidden)(x))
+        mu = nn.Dense(self.action_dim)(x)
+        log_std = self.param(
+            "log_std", nn.initializers.constant(-1.0), (self.action_dim,))
+        return mu, jnp.broadcast_to(log_std, mu.shape)
+
+
+def sample_action_z(mu, log_std, key):
+    """a = sigmoid(z), z ~ N(mu, std); returns (action, z).
+
+    The pre-squash z is kept so the update can recompute log-probs for
+    the stored transitions in one batch (see make_train_step)."""
     std = jnp.exp(log_std)
     z = mu + std * jax.random.normal(key, mu.shape)
-    a = jax.nn.sigmoid(z)
+    return jax.nn.sigmoid(z), z
+
+
+def log_prob_z(mu, log_std, z):
+    """log-density of a = sigmoid(z) under the squashed Gaussian."""
+    std = jnp.exp(log_std)
     # Gaussian log-density + sigmoid change-of-variables.
     logp = -0.5 * (((z - mu) / std) ** 2 + 2 * log_std
                    + jnp.log(2 * jnp.pi))
     log_det = jax.nn.log_sigmoid(z) + jax.nn.log_sigmoid(-z)
-    return a, (logp - log_det).sum(-1)
+    return (logp - log_det).sum(-1)
 
 
-def make_train_step(env, policy, optimizer, num_envs, rollout_steps,
+def make_train_step(env, apply_obs, optimizer, num_envs, rollout_steps,
                     shard, repl):
-    """One jitted iteration: T-step rollout + REINFORCE update."""
+    """One jitted iteration: T-step rollout, then one batched update.
 
-    def loss_fn(params, state, obs, key):
+    `apply_obs(params, obs) -> (mu, log_std)` adapts the policy to the
+    env's observation dict (factor slab or rendered image).
+
+    Rollout and update are DECOUPLED inside the one program: the scan is
+    pure inference (no AD through its length), stacking observations,
+    the sampled pre-squash actions, and reward-delta advantages; the
+    REINFORCE gradient then comes from a single policy re-application
+    over all [T*B] transitions. Params are constant during the rollout,
+    so the estimator is identical to differentiating inside the scan —
+    and the backward pass is one large MXU-friendly batch instead of T
+    sequential per-step backward passes threaded through the scan's
+    reverse sweep.
+    """
+
+    def rollout(params, state, obs, key):
         def body(carry, _):
             state, obs, key, prev_r, prev_ok = carry
             key, k_act = jax.random.split(key)
-            mu, log_std = policy.apply(
-                params, obs["factors"]["factors"], obs["factors"]["mask"])
-            actions, logp = sample_action(mu, log_std, k_act)
-            # The env transition is data for the learner, not part of the
-            # differentiated graph (REINFORCE): stop_gradient keeps reverse
-            #-mode AD out of the step program (whose auto-reset rejection
-            # sampling uses while_loops, which are not reverse-differentiable).
-            state, ts = env.step_batch(state, jax.lax.stop_gradient(actions))
-            state = jax.lax.stop_gradient(state)
-            ts = jax.lax.stop_gradient(ts)
+            mu, log_std = apply_obs(params, obs)
+            actions, z = sample_action_z(mu, log_std, k_act)
+            state, ts = env.step_batch(state, actions)
             reward = jnp.nan_to_num(ts.reward)
             # FindGoalPosition rewards track goal distance, so the reward
             # DELTA within an episode isolates this step's action from the
@@ -121,27 +174,41 @@ def make_train_step(env, policy, optimizer, num_envs, rollout_steps,
             # predecessor (FIRST, or right after one) are masked out.
             valid = prev_ok & ~ts.first()
             adv = jnp.where(valid, reward - prev_r, 0.0)
-            out = (logp, adv, valid.astype(jnp.float32), reward,
+            out = (obs, z, adv, valid.astype(jnp.float32), reward,
                    ts.observation["success"])
             return (state, ts.observation, key, reward, ~ts.first()), out
 
         prev_r = jnp.zeros((num_envs,), jnp.float32)
         prev_ok = jnp.zeros((num_envs,), bool)
-        (state, obs, key, _, _), (logps, advs, ws, rewards, succ) = \
-            jax.lax.scan(body, (state, obs, key, prev_r, prev_ok),
-                         length=rollout_steps)
-        advs = jax.lax.stop_gradient(advs - advs.mean())
-        loss = -(logps * advs * ws).sum() / jnp.maximum(ws.sum(), 1.0)
-        metrics = {"reward_mean": rewards.mean(),
-                   "success_rate": succ.mean()}
-        return loss, (state, obs, key, metrics)
+        (state, obs, key, _, _), outs = jax.lax.scan(
+            body, (state, obs, key, prev_r, prev_ok),
+            length=rollout_steps)
+        return state, obs, key, outs
+
+    def loss_fn(params, obs_t, z_t, advs, ws):
+        # One batched re-application over all T*B transitions. Flatten
+        # with the SHARDED env axis outermost ([T, B] -> [B*T]): merging
+        # a replicated T inside the sharded B keeps every shard's rows
+        # contiguous, so GSPMD lowers the reshape locally; the other
+        # order interleaves shards and forces an all-gather of the whole
+        # observation stack.
+        flat = lambda x: jnp.swapaxes(x, 0, 1).reshape(  # noqa: E731
+            (-1,) + x.shape[2:])
+        mu, log_std = apply_obs(params, jax.tree.map(flat, obs_t))
+        logp = log_prob_z(mu, log_std, flat(z_t))
+        advs = flat(advs) - advs.mean()
+        ws = flat(ws)
+        return -(logp * advs * ws).sum() / jnp.maximum(ws.sum(), 1.0)
 
     def train_step(params, opt_state, state, obs, key):
-        (loss, (state, obs, key, metrics)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, state, obs, key)
+        state, obs, key, (obs_t, z_t, advs, ws, rewards, succ) = rollout(
+            params, state, obs, key)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, obs_t, z_t, jax.lax.stop_gradient(advs), ws)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        metrics["loss"] = loss
+        metrics = {"loss": loss, "reward_mean": rewards.mean(),
+                   "success_rate": succ.mean()}
         return params, opt_state, state, obs, key, metrics
 
     obs_shard = jax.tree.map(lambda _: shard, env.observation_spec())
@@ -153,13 +220,12 @@ def make_train_step(env, policy, optimizer, num_envs, rollout_steps,
 
 
 def train(num_envs=1024, iters=200, rollout_steps=20, seed=0,
-          log_every=20, mesh=None):
-    env = build_train_env()
+          log_every=20, mesh=None, obs_mode="factors", image_size=(64, 64)):
+    env = build_train_env(obs_mode, image_size)
     mesh = mesh if mesh is not None else env_mesh()
     shard = env_sharding(mesh)
     repl = replicated_sharding(mesh)
 
-    policy = Policy()
     optimizer = optax.adam(2e-3)
 
     key = jax.random.key(seed)
@@ -168,12 +234,20 @@ def train(num_envs=1024, iters=200, rollout_steps=20, seed=0,
     state, ts = jax.jit(env.reset_batch,
                         out_shardings=(shard, shard))(keys)
     obs = ts.observation
-    params = policy.init(
-        k_init, obs["factors"]["factors"], obs["factors"]["mask"])
+    if obs_mode == "image":
+        policy = ConvPolicy()
+        apply_obs = lambda p, o: policy.apply(p, o["image"])  # noqa: E731
+        params = policy.init(k_init, obs["image"])
+    else:
+        policy = Policy()
+        apply_obs = lambda p, o: policy.apply(  # noqa: E731
+            p, o["factors"]["factors"], o["factors"]["mask"])
+        params = policy.init(
+            k_init, obs["factors"]["factors"], obs["factors"]["mask"])
     opt_state = optimizer.init(params)
 
     step_fn = make_train_step(
-        env, policy, optimizer, num_envs, rollout_steps, shard, repl)
+        env, apply_obs, optimizer, num_envs, rollout_steps, shard, repl)
 
     history = []
     t1 = None
@@ -204,9 +278,12 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=200)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--obs", default="factors", choices=["factors", "image"],
+                   help="observation/policy pair: factor-slab MLP or "
+                        "rendered-RGB CNN (the full render->MXU pipeline)")
     args = p.parse_args(argv)
     train(num_envs=args.num_envs, iters=args.iters,
-          rollout_steps=args.steps, seed=args.seed)
+          rollout_steps=args.steps, seed=args.seed, obs_mode=args.obs)
     return 0
 
 
