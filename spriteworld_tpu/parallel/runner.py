@@ -128,8 +128,24 @@ class ShardedRunner:
         keys = jax.random.split(key, self.num_envs)
         return jax.vmap(self.env.sample_action)(keys)
 
-    def _build_rollout(self, num_steps: int, with_returns: bool):
+    def _build_rollout(self, num_steps: int, with_returns,
+                       obs_keys=None):
         env = self.env
+
+        def slim_obs(obs):
+            # Optionally keep only the requested observation keys in the
+            # stacked trace (evaluate() needs just "success"), and
+            # ALWAYS flatten image-like leaves to [B, H*W*C]: TPU tiled
+            # layouts pad a trailing RGB dim 3 to a full 128-lane tile,
+            # so stacking raw [T, B, H, W, 3] u8 frames inflates ~43x in
+            # HBM (a 20-step 64x64 trace at 2048 lanes would exceed the
+            # chip). Callers get the un-flattened view back from
+            # `rollout` on the host side.
+            if obs_keys is not None and isinstance(obs, dict):
+                obs = {k: v for k, v in obs.items() if k in obs_keys}
+            return jax.tree.map(
+                lambda l: l.reshape(l.shape[0], -1) if l.ndim > 2 else l,
+                obs)
 
         def body(carry, _):
             state, key, ret_acc = carry
@@ -155,7 +171,8 @@ class ShardedRunner:
                 successes=(last & success).sum(dtype=cnt),
                 return_sum=ep_return.sum(dtype=jnp.float32),
                 reward_sum=reward.sum(dtype=jnp.float32))
-            out = ts if with_returns else None
+            out = ts.replace(observation=slim_obs(ts.observation)) \
+                if with_returns else None
             return (state, key, ret_acc), (m, out)
 
         def rollout(state, key, ret_acc):
@@ -201,15 +218,21 @@ class ShardedRunner:
             if self._shard.is_fully_addressable else value
 
     def rollout(self, state, key, num_steps: int, return_timesteps=False,
-                episode_returns=None):
+                episode_returns=None, timestep_obs=None):
         """Run `num_steps` lockstep steps; returns (state, key, Metrics[, ts]).
 
         The whole chunk is one device program. `return_timesteps=True`
-        additionally stacks every TimeStep (use small chunks: the obs trace
-        is [T, B, ...] in HBM). `episode_returns` optionally seeds the
-        per-lane in-flight return accumulator (e.g. restored from a
-        checkpoint); by default the accumulator carried since the last
-        `reset()` is used.
+        additionally stacks every TimeStep (use small chunks: the obs
+        trace is [T, B, ...] in HBM). In the stacked trace, observation
+        leaves with more than one per-lane dim come back FLATTENED to
+        [T, B, -1]: TPU tiled layouts pad the two minor dims to (8, 128),
+        so stacking e.g. raw [T, B, H, W, 3] u8 frames would inflate
+        ~43x in HBM; reshape on the host via the env's observation_spec
+        if you need the original shapes. `timestep_obs` optionally
+        restricts the stacked observations to the given top-level keys.
+        `episode_returns` optionally seeds the per-lane in-flight return
+        accumulator (e.g. restored from a checkpoint); by default the
+        accumulator carried since the last `reset()` is used.
         """
         if episode_returns is not None:
             self.episode_returns = episode_returns
@@ -218,7 +241,9 @@ class ShardedRunner:
                 f"A single chunk of {num_steps} steps x {self.num_envs} "
                 "envs would overflow the on-device i32 step counter; split "
                 "into smaller chunks (host-side accumulation is unbounded).")
-        sig = (int(num_steps), bool(return_timesteps))
+        if timestep_obs is not None:
+            timestep_obs = tuple(timestep_obs)
+        sig = (int(num_steps), bool(return_timesteps), timestep_obs)
         if sig not in self._rollout_cache:
             self._rollout_cache[sig] = self._build_rollout(*sig)
         state, key, self._ret_acc, metrics, tss = self._rollout_cache[sig](
@@ -259,7 +284,8 @@ class ShardedRunner:
             if len(returns) >= num_episodes:
                 break
             state, key, _, tss = self.rollout(
-                state, key, chunk_steps, return_timesteps=True)
+                state, key, chunk_steps, return_timesteps=True,
+                timestep_obs=("success",))
             rew = np.nan_to_num(np.asarray(tss.reward, np.float64))
             last = np.asarray(tss.last())
             succ = np.asarray(tss.observation["success"]) \

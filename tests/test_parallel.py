@@ -82,6 +82,28 @@ def test_rollout_with_timesteps_trace():
     assert tss.step_type.shape == (5, 8)
     assert int(metrics.episodes) == int(
         (np.asarray(tss.step_type) == 2).sum())
+    # Stacked observation leaves are flattened per lane ([T, B, -1] at
+    # most): multi-dim leaves (images, factor slabs) would otherwise pay
+    # the TPU minor-dim tile padding on every scan step (PERF_NOTES.md).
+    for leaf in jax.tree.leaves(tss.observation):
+        assert leaf.ndim <= 3, leaf.shape
+
+    # timestep_obs restricts the stacked trace to the requested keys.
+    state, key, metrics, tss2 = runner.rollout(
+        state, jax.random.key(2), 5, return_timesteps=True,
+        timestep_obs=("success",))
+    assert set(tss2.observation) == {"success"}
+
+    # Image observations come back flattened to [T, B, H*W*3].
+    env_img = make_env()
+    env_img._renderers["image"] = renderers.ImageRenderer((16, 16)).bind(
+        env_img.max_sprites)
+    r2 = ShardedRunner(env_img, num_envs=8)
+    st, _ = r2.reset(jax.random.key(0))
+    _, _, _, tss3 = r2.rollout(st, jax.random.key(1), 2,
+                               return_timesteps=True)
+    assert tss3.observation["image"].shape == (2, 8, 16 * 16 * 3)
+    assert tss3.observation["image"].dtype == jnp.uint8
 
 
 def test_checkpoint_roundtrip_resumes_trajectory(tmp_path):

@@ -121,6 +121,17 @@ class ConvPolicy(nn.Module):
         return mu, jnp.broadcast_to(log_std, mu.shape)
 
 
+def flatten_images(obs):
+    """Flatten [B, H, W, 3] image leaves to [B, H*W*3] before they enter
+    a scan carry or stack: TPU tiled layouts pad the two minor dims to
+    (8, 128), so raw NHWC u8 frames inflate ~43x in HBM when stacked —
+    a 20-step 64x64 trace at 1024 lanes is a 53 GB allocation (measured:
+    OOM), while the flat form stacks at full speed. The policy reshapes
+    back right before its conv (a one-off relayout, which is cheap)."""
+    return jax.tree.map(
+        lambda l: l.reshape(l.shape[0], -1) if l.ndim == 4 else l, obs)
+
+
 def sample_action_z(mu, log_std, key):
     """a = sigmoid(z), z ~ N(mu, std); returns (action, z).
 
@@ -166,6 +177,7 @@ def make_train_step(env, apply_obs, optimizer, num_envs, rollout_steps,
             mu, log_std = apply_obs(params, obs)
             actions, z = sample_action_z(mu, log_std, k_act)
             state, ts = env.step_batch(state, actions)
+            ts = ts.replace(observation=flatten_images(ts.observation))
             reward = jnp.nan_to_num(ts.reward)
             # FindGoalPosition rewards track goal distance, so the reward
             # DELTA within an episode isolates this step's action from the
@@ -233,11 +245,14 @@ def train(num_envs=1024, iters=200, rollout_steps=20, seed=0,
     keys = jax.device_put(jax.random.split(k_reset, num_envs), shard)
     state, ts = jax.jit(env.reset_batch,
                         out_shardings=(shard, shard))(keys)
-    obs = ts.observation
+    obs = flatten_images(ts.observation)
     if obs_mode == "image":
+        h, w = image_size
         policy = ConvPolicy()
-        apply_obs = lambda p, o: policy.apply(p, o["image"])  # noqa: E731
-        params = policy.init(k_init, obs["image"])
+        unflat = lambda im: im.reshape(-1, h, w, 3)  # noqa: E731
+        apply_obs = lambda p, o: policy.apply(  # noqa: E731
+            p, unflat(o["image"]))
+        params = policy.init(k_init, unflat(obs["image"]))
     else:
         policy = Policy()
         apply_obs = lambda p, o: policy.apply(  # noqa: E731
