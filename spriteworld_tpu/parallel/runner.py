@@ -271,37 +271,45 @@ class ShardedRunner:
 
         Episodes still in flight when the target is reached are
         discarded (no length bias toward short episodes beyond the
-        cutoff chunk).
+        cutoff chunk). The runner's own rollout stream is undisturbed:
+        the in-flight episode-return accumulator carried since the
+        caller's last `reset()` is saved and restored around the
+        evaluation, so training metrics for episodes straddling an
+        evaluate() call stay correct.
         """
         import numpy as np
 
-        state, _ = self.reset(key)
-        key = jax.random.fold_in(key, 1)
-        acc = np.zeros((self.num_envs,), np.float64)
-        returns = []
-        successes = []
-        for _ in range(max_chunks):
-            if len(returns) >= num_episodes:
-                break
-            state, key, _, tss = self.rollout(
-                state, key, chunk_steps, return_timesteps=True,
-                timestep_obs=("success",))
-            rew = np.nan_to_num(np.asarray(tss.reward, np.float64))
-            last = np.asarray(tss.last())
-            succ = np.asarray(tss.observation["success"]) \
-                if "success" in tss.observation else np.zeros_like(last)
-            for t in range(rew.shape[0]):
-                acc += rew[t]
-                done = last[t]
-                if done.any():
-                    returns.extend(acc[done].tolist())
-                    successes.extend(np.asarray(succ[t][done]).tolist())
-                    acc[done] = 0.0
-        else:
-            raise RuntimeError(
-                f"evaluate() hit max_chunks={max_chunks} with only "
-                f"{len(returns)}/{num_episodes} episodes; is the env "
-                "terminating?")
+        saved_ret_acc = getattr(self, "_ret_acc", None)
+        try:
+            state, _ = self.reset(key)
+            key = jax.random.fold_in(key, 1)
+            acc = np.zeros((self.num_envs,), np.float64)
+            returns = []
+            successes = []
+            for _ in range(max_chunks):
+                if len(returns) >= num_episodes:
+                    break
+                state, key, _, tss = self.rollout(
+                    state, key, chunk_steps, return_timesteps=True,
+                    timestep_obs=("success",))
+                rew = np.nan_to_num(np.asarray(tss.reward, np.float64))
+                last = np.asarray(tss.last())
+                succ = np.asarray(tss.observation["success"]) \
+                    if "success" in tss.observation else np.zeros_like(last)
+                for t in range(rew.shape[0]):
+                    acc += rew[t]
+                    done = last[t]
+                    if done.any():
+                        returns.extend(acc[done].tolist())
+                        successes.extend(np.asarray(succ[t][done]).tolist())
+                        acc[done] = 0.0
+            if len(returns) < num_episodes:
+                raise RuntimeError(
+                    f"evaluate() hit max_chunks={max_chunks} with only "
+                    f"{len(returns)}/{num_episodes} episodes; is the env "
+                    "terminating?")
+        finally:
+            self._ret_acc = saved_ret_acc
         returns_arr = np.asarray(returns[:num_episodes], np.float64)
         succ_arr = np.asarray(successes[:num_episodes], np.float64)
         n = len(returns_arr)

@@ -9,10 +9,22 @@ parity test stack).
 
 from __future__ import annotations
 
+import weakref
 from typing import Optional
 
 import jax
 import numpy as np
+
+# jax.jit(bound_method) yields a fresh wrapper (own compile cache) each
+# call; cache the jitted reset/step per env so recording several episodes
+# (e.g. one per checkpoint) compiles only once.
+_JITTED = weakref.WeakKeyDictionary()
+
+
+def _jitted(env):
+    if env not in _JITTED:
+        _JITTED[env] = (jax.jit(env.reset_batch), jax.jit(env.step_batch))
+    return _JITTED[env]
 
 
 def record_episode(env, key, max_steps: int = 100,
@@ -26,8 +38,7 @@ def record_episode(env, key, max_steps: int = 100,
     """
     import jax.numpy as jnp
 
-    reset = jax.jit(env.reset_batch)
-    step = jax.jit(env.step_batch)
+    reset, step = _jitted(env)
     state, ts = reset(jax.random.split(key, 1))
     frames = [np.asarray(ts.observation[obs_key][0])]
     for i in range(max_steps):

@@ -292,3 +292,17 @@ def test_record_episode_and_save_gif(tmp_path):
     synth = rng.integers(0, 255, (5, 16, 16, 3)).astype(np.uint8)
     p2 = media.save_gif(synth, str(tmp_path / "synth.gif"))
     assert Image.open(p2).n_frames == 5
+
+
+def test_evaluate_preserves_inflight_returns():
+    """evaluate() must not clobber the caller's rollout stream: the
+    in-flight episode-return accumulator is saved and restored."""
+    env = make_env()
+    runner = ShardedRunner(env, num_envs=8)
+    state, _ = runner.reset(jax.random.key(5))
+    state, key, _ = runner.rollout(state, jax.random.key(6), 7)
+    before = np.asarray(runner.episode_returns).copy()
+    assert np.abs(before).sum() > 0  # episodes genuinely mid-flight
+    runner.evaluate(jax.random.key(7), num_episodes=5, chunk_steps=48)
+    np.testing.assert_array_equal(before,
+                                  np.asarray(runner.episode_returns))

@@ -121,15 +121,17 @@ class ConvPolicy(nn.Module):
         return mu, jnp.broadcast_to(log_std, mu.shape)
 
 
-def flatten_images(obs):
-    """Flatten [B, H, W, 3] image leaves to [B, H*W*3] before they enter
+def flatten_obs(obs):
+    """Flatten multi-dim observation leaves to [B, -1] before they enter
     a scan carry or stack: TPU tiled layouts pad the two minor dims to
     (8, 128), so raw NHWC u8 frames inflate ~43x in HBM when stacked —
     a 20-step 64x64 trace at 1024 lanes is a 53 GB allocation (measured:
-    OOM), while the flat form stacks at full speed. The policy reshapes
-    back right before its conv (a one-off relayout, which is cheap)."""
+    OOM) — and a [B, K, F] factor slab pads the same way. The policy
+    adapters reshape back right before consuming (a one-off relayout,
+    which is cheap). Same rule as ShardedRunner's stacked-trace
+    flattening (parallel/runner.py)."""
     return jax.tree.map(
-        lambda l: l.reshape(l.shape[0], -1) if l.ndim == 4 else l, obs)
+        lambda l: l.reshape(l.shape[0], -1) if l.ndim > 2 else l, obs)
 
 
 def sample_action_z(mu, log_std, key):
@@ -177,7 +179,7 @@ def make_train_step(env, apply_obs, optimizer, num_envs, rollout_steps,
             mu, log_std = apply_obs(params, obs)
             actions, z = sample_action_z(mu, log_std, k_act)
             state, ts = env.step_batch(state, actions)
-            ts = ts.replace(observation=flatten_images(ts.observation))
+            ts = ts.replace(observation=flatten_obs(ts.observation))
             reward = jnp.nan_to_num(ts.reward)
             # FindGoalPosition rewards track goal distance, so the reward
             # DELTA within an episode isolates this step's action from the
@@ -245,7 +247,7 @@ def train(num_envs=1024, iters=200, rollout_steps=20, seed=0,
     keys = jax.device_put(jax.random.split(k_reset, num_envs), shard)
     state, ts = jax.jit(env.reset_batch,
                         out_shardings=(shard, shard))(keys)
-    obs = flatten_images(ts.observation)
+    obs = flatten_obs(ts.observation)
     if obs_mode == "image":
         h, w = image_size
         policy = ConvPolicy()
@@ -254,18 +256,24 @@ def train(num_envs=1024, iters=200, rollout_steps=20, seed=0,
             p, unflat(o["image"]))
         params = policy.init(k_init, unflat(obs["image"]))
     else:
+        kf = env.observation_spec()["factors"]["factors"].shape  # (K, F)
         policy = Policy()
         apply_obs = lambda p, o: policy.apply(  # noqa: E731
-            p, o["factors"]["factors"], o["factors"]["mask"])
+            p, o["factors"]["factors"].reshape(-1, *kf),
+            o["factors"]["mask"])
         params = policy.init(
-            k_init, obs["factors"]["factors"], obs["factors"]["mask"])
+            k_init, obs["factors"]["factors"].reshape(-1, *kf),
+            obs["factors"]["mask"])
     opt_state = optimizer.init(params)
 
     step_fn = make_train_step(
         env, apply_obs, optimizer, num_envs, rollout_steps, shard, repl)
 
     history = []
+    if iters <= 0:
+        return params, history
     t1 = None
+    m = None
     for it in range(iters):
         params, opt_state, state, obs, key, m = step_fn(
             params, opt_state, state, obs, key)
