@@ -190,13 +190,20 @@ def _rejection_sample(key, propose, accept):
     MAX_REJECTION_TRIES and the returned `ok` flag records whether the final
     candidate was actually accepted (AND the proposal's own status, since
     nested rejection nodes propagate theirs).
+
+    Child exhaustion fails FAST: when a nested rejection node returns
+    ok=False (it burned its own MAX_REJECTION_TRIES), the outer loop
+    stops instead of re-proposing — the reference raises out of the
+    whole sample at that point (factor_distributions.py:343-344), and
+    retrying a child that just exhausted 1e5 tries would multiply the
+    bounds into O(MAX^depth) work for over-constrained nestings.
     """
     k0, k1 = jax.random.split(key)
     first, ok0 = propose(k1)
 
     def cond(carry):
-        _, spec, _, tries = carry
-        return (~accept(spec)) & (tries < MAX_REJECTION_TRIES)
+        _, spec, child_ok, tries = carry
+        return (~accept(spec)) & child_ok & (tries < MAX_REJECTION_TRIES)
 
     def body(carry):
         k, _, _, tries = carry

@@ -226,3 +226,71 @@ def test_rejection_exhaustion_reports_not_ok():
     spec, ok = jax.jit(possible.sample_with_status)(jax.random.key(2))
     assert bool(ok)
     assert 0.5 <= float(spec["x"]) < 1.0
+
+
+def test_random_composition_parity_fuzz():
+    """Randomized compositional parity: random spec TREES (Mixture /
+    Intersection / SetMinus / Product over Continuous leaves) built
+    identically in both algebras must agree on `contains` for random
+    candidates, and our samples must be contained by the reference tree.
+
+    Bounds and candidates live on the 1/64 grid (exact in f32 AND f64),
+    so the reference's python-float comparisons and our f32 comparisons
+    are bit-equivalent — any disagreement is a real semantic divergence.
+    """
+    ref_fd = ref_oracle.ref_module("factor_distributions")
+    rng = np.random.default_rng(42)
+
+    def grid(lo=0.0, hi=1.0):
+        vals = np.arange(int(lo * 64), int(hi * 64) + 1) / 64.0
+        return float(rng.choice(vals))
+
+    def rand_tree(key_name, depth):
+        """Returns (build_fn(mod) -> dist) for one factor key."""
+        kind = rng.choice(
+            ["leaf", "mixture", "intersection", "setminus"]
+            if depth > 0 else ["leaf"])
+        if kind == "leaf":
+            a = grid(0.0, 0.9)
+            b = grid(a + 1 / 64, 1.0)
+            return lambda mod: mod.Continuous(key_name, a, b)
+        lhs = rand_tree(key_name, depth - 1)
+        rhs = rand_tree(key_name, depth - 1)
+        if kind == "mixture":
+            return lambda mod: mod.Mixture([lhs(mod), rhs(mod)])
+        if kind == "intersection":
+            return lambda mod: mod.Intersection([lhs(mod), rhs(mod)])
+        return lambda mod: mod.SetMinus(lhs(mod), rhs(mod))
+
+    for case in range(8):
+        tx = rand_tree("x", depth=2)
+        ty = rand_tree("y", depth=2)
+        build = lambda mod: mod.Product([tx(mod), ty(mod)])  # noqa: B023
+        ours, theirs = build(distribs), build(ref_fd)
+        cfun = jax.jit(ours.contains)  # one compile per tree
+
+        # contains parity: half on-grid (boundary-heavy), half off-grid,
+        # VECTORIZED through one jitted call per batch.
+        cands = []
+        for _ in range(40):
+            if rng.uniform() < 0.5:
+                cands.append((grid(), grid()))
+            else:
+                cands.append((float(np.float32(rng.uniform(0, 1))),
+                              float(np.float32(rng.uniform(0, 1)))))
+        xs = jnp.asarray([c[0] for c in cands], jnp.float32)
+        ys = jnp.asarray([c[1] for c in cands], jnp.float32)
+        got = np.asarray(cfun({"x": xs, "y": ys}))
+        for i, (cx, cy) in enumerate(cands):
+            want = bool(theirs.contains({"x": cx, "y": cy}))
+            assert bool(got[i]) == want, (case, cx, cy)
+
+        # our samples (when the bounded rejection loop succeeds) must be
+        # members of the reference tree.
+        sfun = jax.jit(ours.sample_with_status)
+        for s in range(5):
+            spec, ok = sfun(jax.random.key(case * 31 + s))
+            if not bool(np.asarray(ok).all()):
+                continue  # over-constrained tree: status surfaced, skip
+            host = {k: float(np.asarray(v)) for k, v in spec.items()}
+            assert theirs.contains(host), (case, host)

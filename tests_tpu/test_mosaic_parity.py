@@ -51,6 +51,7 @@ CASES = [
     ((64, 64), 5, True, "box", "auto"),     # scene kernel, exact + box
     ((64, 64), 5, True, "auto", "strips"),  # legacy strip grid, Lanczos
     ((64, 64), 5, False, "auto", "strips"),  # legacy strip grid, centroid
+    ((64, 64), 1, True, "auto", "scene"),   # explicit scene at aa=1
 ]
 
 
