@@ -45,29 +45,36 @@ def main(argv):
 
     key = jax.random.key(0)
     state, ts = benv.reset(key)
-    episode_rewards = [[] for _ in range(FLAGS.num_envs)]
+    # Vectorized per-lane episode accumulators (the masked-numpy pattern
+    # ShardedRunner.evaluate uses): nan-mean over an episode's rewards is
+    # sum-of-finite / count-of-finite, tracked as two [num_envs] vectors —
+    # O(1) numpy work per step instead of an O(num_envs) Python loop.
+    ep_reward_sum = np.zeros(FLAGS.num_envs, np.float64)
+    ep_reward_cnt = np.zeros(FLAGS.num_envs, np.int64)
     episodes_done = 0
-    step_idx = 0
     target = FLAGS.num_episodes * FLAGS.num_envs
 
     while episodes_done < target:
         key, sub = jax.random.split(key)
         state, ts = benv.step(state, benv.sample_actions(sub))
-        step_idx += 1
         rewards = np.asarray(ts.reward)
         step_types = np.asarray(ts.step_type)
         success = np.asarray(ts.observation["success"])
-        for lane in range(FLAGS.num_envs):
-            if step_types[lane] == 0:  # FIRST after auto-reset
-                continue
-            episode_rewards[lane].append(rewards[lane])
-            if step_types[lane] == 2:  # LAST
-                episodes_done += 1
-                logging.info(
-                    "Episode done (lane %d). Success = %s, Reward = %s",
-                    lane, bool(success[lane]),
-                    float(np.nanmean(episode_rewards[lane])))
-                episode_rewards[lane] = []
+        # FIRST lanes (post-auto-reset) contribute nothing, like the
+        # reference's reset steps (example_run_loop.py:72-74).
+        counted = (step_types != 0) & ~np.isnan(rewards)
+        ep_reward_sum += np.where(counted, rewards, 0.0)
+        ep_reward_cnt += counted
+        done_lanes = np.nonzero(step_types == 2)[0]  # LAST
+        for lane in done_lanes:  # iterates finished episodes only
+            episodes_done += 1
+            mean_r = (ep_reward_sum[lane] / ep_reward_cnt[lane]
+                      if ep_reward_cnt[lane] else float("nan"))
+            logging.info(
+                "Episode done (lane %d). Success = %s, Reward = %s",
+                int(lane), bool(success[lane]), float(mean_r))
+        ep_reward_sum[done_lanes] = 0.0
+        ep_reward_cnt[done_lanes] = 0
 
 
 if __name__ == "__main__":

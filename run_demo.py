@@ -20,7 +20,10 @@ flags.DEFINE_boolean("task_hsv_colors", True,
                      "Whether the config's colors are in HSV space.")
 flags.DEFINE_integer("render_size", 256,
                      "Height and width of the output image.")
-flags.DEFINE_integer("anti_aliasing", 1, "Renderer anti-aliasing factor.")
+# Default matches the reference demo (/root/reference/run_demo.py:45): the
+# interactive UI renders one frame per user action, so AA=10's cost is
+# invisible there and the out-of-the-box image matches the reference's.
+flags.DEFINE_integer("anti_aliasing", 10, "Renderer anti-aliasing factor.")
 
 
 def main(argv):

@@ -51,7 +51,18 @@ class Environment(dm_env.Environment):
             metadata=metadata)
         self._reset_fn = jax.jit(self._env.reset)
         self._step_fn = jax.jit(self._env.step)
+        self._observe_fn = jax.jit(
+            lambda state: self._env.observation(
+                state.factors, state.num_sprites, self._env.success(state)))
         self._key = jax.random.key(0 if seed is None else seed)
+        # ONE stable host action space per env (reference property returns
+        # the same object every access, environment.py:159-161). Its rng is
+        # seeded from the env seed but is a separate stream: sampling actions
+        # must not perturb the episode key.
+        self._host_action_space = HostActionSpace(
+            self._env.action_space,
+            rng=np.random.default_rng(
+                None if seed is None else (seed + 0x5EED)))
         # Mirror the reference's eager __init__ scene draw + reset-on-first-
         # step flag (environment.py:68-70).
         self._key, sub = jax.random.split(self._key)
@@ -114,15 +125,18 @@ class Environment(dm_env.Environment):
                 "MAX_REJECTION_TRIES.")
         if not bool(self._state.task_valid):
             # Mirror sklearn's davies_bouldin_score ValueError, which the
-            # reference propagates when a Clustering task sees <2 populated
-            # clusters (tasks.py:207-215). Inside jit the engine can only
-            # flag it (EnvState.task_valid); raise at the host boundary.
+            # reference propagates when the clustering leaves sklearn's
+            # domain 1 < n_labels < n_samples (tasks.py:207-215) — fewer
+            # than 2 populated clusters, or all-singleton clusters. Inside
+            # jit the engine can only flag it (EnvState.task_valid); raise
+            # at the host boundary.
             raise ValueError(
-                "Task is undefined on the current state: fewer than 2 "
-                "clusters are populated, so the Davies-Bouldin clustering "
-                "metric does not exist (the reference's sklearn call raises "
-                "here). Check the config's cluster_distribs against its "
-                "scene distribution.")
+                "Task is undefined on the current state: the clustering "
+                "violates sklearn's 1 < n_labels < n_samples domain (fewer "
+                "than 2 populated clusters, or every populated cluster is a "
+                "singleton), so the Davies-Bouldin metric does not exist "
+                "(the reference's sklearn call raises here). Check the "
+                "config's cluster_distribs against its scene distribution.")
 
     def reset(self) -> dm_env.TimeStep:
         self._state, ts = self._reset_fn(self._next_key())
@@ -219,12 +233,18 @@ class Environment(dm_env.Environment):
                 return p
         raise ValueError("max_tries exceeded in sample_contained_position")
 
+    def observation(self):
+        """Render the current state off-cycle (environment.py:136-142).
+
+        The reference re-renders from `state()` on every call; here the
+        jitted observe function rasterizes the current EnvState directly
+        and the result is converted to reference-shaped host values.
+        """
+        return self._convert_obs(self._observe_fn(self._state))
+
     @property
     def action_space(self):
-        return HostActionSpace(self._env.action_space,
-                               rng=np.random.default_rng(
-                                   int(jax.random.randint(
-                                       self._next_key(), (), 0, 2**31 - 1))))
+        return self._host_action_space
 
 
 class HostActionSpace:

@@ -142,12 +142,22 @@ class Clustering:
             >= self._termination_threshold
 
     def valid(self, factors, num_sprites):
-        """True when >= 2 clusters have members — the states sklearn's
-        davies_bouldin_score accepts (the reference raises otherwise,
-        tasks.py:207-215; inside jit we flag instead of raising and the
-        dm_env adapter re-raises host-side)."""
+        """True exactly on sklearn davies_bouldin_score's domain.
+
+        sklearn's check_number_of_labels requires ``1 < n_labels <
+        n_samples`` (the reference propagates its ValueError,
+        tasks.py:207-215), where n_samples counts the sprites assigned to
+        any cluster and n_labels the distinct populated clusters. The
+        upper edge matters: with all-singleton clusters (n_labels ==
+        n_samples, e.g. 2 sprites in 2 clusters) every intra-cluster
+        distance is 0, the engine metric degenerates to 1/0 = inf, and the
+        reference raises — so that state must be flagged invalid too.
+        Inside jit we flag instead of raising; the dm_env adapter
+        re-raises host-side."""
         member = self._membership(factors, num_sprites)
-        return jnp.any(member, axis=0).sum() >= 2
+        n_labels = jnp.any(member, axis=0).sum()
+        n_samples = member.sum()
+        return (n_labels >= 2) & (n_labels < n_samples)
 
 
 _AGGREGATORS = {

@@ -920,7 +920,22 @@ def render_rgb_batch(factors: jnp.ndarray,
         kernel_mode = ("scene" if not packed and not interpret and k > 0
                        and wc % 8 == 0 and hc * wc * 4 <= 2_500_000
                        else "strips")
-    if kernel_mode == "scene" and not packed and wc % 8 == 0 and k > 0:
+    elif kernel_mode == "scene" and (wc % 8 or k == 0):
+        # An explicit mode is the user's call (renderers._pallas_call
+        # surfaces it); honoring the contract means refusing loudly when the
+        # scene branch's hard preconditions fail instead of silently
+        # degrading to strips with the scene knobs ignored.
+        raise ValueError(
+            "kernel_mode='scene' requires an 8-aligned supersampled width "
+            f"(W*anti_aliasing = {wc}) and max_sprites > 0 (got {k}); use "
+            "kernel_mode='strips' or 'auto' for this configuration.")
+    if (scene_cspan is not None or scene_group is not None) \
+            and kernel_mode != "scene":
+        raise ValueError(
+            "scene_cspan/scene_group tune the scene kernel only, but "
+            f"kernel_mode resolved to {kernel_mode!r} here — they would be "
+            "silently ignored. Pass kernel_mode='scene' (or drop the knobs).")
+    if kernel_mode == "scene":
         if lanczos:
             rt_host = resample.pil_lanczos_matrix(wc, w).copy()   # [w, wc]
             lt_host = resample.pil_lanczos_matrix(hc, h)[::-1].T.copy()

@@ -271,7 +271,11 @@ class ShardedRunner:
 
         Episodes still in flight when the target is reached are
         discarded (no length bias toward short episodes beyond the
-        cutoff chunk). The runner's own rollout stream is undisturbed:
+        cutoff chunk). Within the cutoff chunk itself, `num_episodes`
+        is hit mid-chunk and the earliest-finishing episodes of that
+        chunk are kept — a mild bias toward shorter episodes at the
+        margin (bounded by one chunk's worth of episodes; shrink
+        `chunk_steps` to shrink it). The runner's own rollout stream is undisturbed:
         the in-flight episode-return accumulator carried since the
         caller's last `reset()` is saved and restored around the
         evaluation, so training metrics for episodes straddling an
@@ -295,7 +299,8 @@ class ShardedRunner:
                 rew = np.nan_to_num(np.asarray(tss.reward, np.float64))
                 last = np.asarray(tss.last())
                 succ = np.asarray(tss.observation["success"]) \
-                    if "success" in tss.observation else np.zeros_like(last)
+                    if isinstance(tss.observation, dict) \
+                    and "success" in tss.observation else np.zeros_like(last)
                 for t in range(rew.shape[0]):
                     acc += rew[t]
                     done = last[t]

@@ -87,7 +87,61 @@ def run_rollout(mesh):
     }
 
 
-def main(pid: int, nproc: int, port: str):
+CKPT_STEPS_BEFORE = 7   # rollout length before the checkpoint is taken
+CKPT_STEPS_AFTER = 9    # continuation length after save/restore
+
+
+def _metrics_dict(metrics):
+    return {
+        "steps": metrics.steps,
+        "episodes": metrics.episodes,
+        "successes": metrics.successes,
+        "return_sum": round(float(metrics.return_sum), 3),
+        "reward_sum": round(float(metrics.reward_sum), 3),
+    }
+
+
+def run_ckpt_roundtrip(mesh, mode: str, path: str):
+    """Cross-topology checkpoint leg (SURVEY §5.4): the same deterministic
+    rollout stream, cut at step CKPT_STEPS_BEFORE.
+
+    mode='save': reset + N1 steps, save the sharded
+    {env_state, episode_returns, key} under THIS mesh/process topology,
+    then continue N2 steps and return the continuation metrics.
+    mode='restore': restore that checkpoint under THIS topology (however it
+    was saved), continue N2 steps, return the continuation metrics.
+    A pod-resize is exactly save-under-one-shape + restore-under-another;
+    the continuation metrics must match an uninterrupted run bit-for-bit
+    (ints) / to float tolerance.
+    """
+    import jax
+
+    from spriteworld_tpu.parallel import checkpoint
+    from spriteworld_tpu.parallel import runner as runner_lib
+
+    env = build_env()
+    runner = runner_lib.ShardedRunner(env, num_envs=NUM_ENVS, mesh=mesh)
+    state, _ = runner.reset(jax.random.key(0))
+    if mode == "save":
+        state, key, _ = runner.rollout(
+            state, jax.random.key(1), CKPT_STEPS_BEFORE)
+        checkpoint.save_state(path, {
+            "env_state": state,
+            "episode_returns": runner.episode_returns,
+            "key": key,
+        })
+    else:
+        like = {"env_state": state,
+                "episode_returns": runner.episode_returns,
+                "key": jax.random.key(1)}
+        restored = checkpoint.restore_state(path, like)
+        runner.episode_returns = restored["episode_returns"]
+        state, key = restored["env_state"], restored["key"]
+    _, _, m2 = runner.rollout(state, key, CKPT_STEPS_AFTER)
+    return _metrics_dict(m2)
+
+
+def main(pid: int, nproc: int, port: str, task: str = ""):
     import jax
 
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
@@ -100,7 +154,11 @@ def main(pid: int, nproc: int, port: str):
     assert jax.process_count() == nproc, jax.process_count()
     assert len(jax.devices()) == 4 * nproc, jax.devices()
 
-    out = run_rollout(mesh_lib.env_mesh())
+    if task.startswith(("save=", "restore=")):
+        mode, path = task.split("=", 1)
+        out = run_ckpt_roundtrip(mesh_lib.env_mesh(), mode, path)
+    else:
+        out = run_rollout(mesh_lib.env_mesh())
     out.update(pid=pid, process_count=jax.process_count(),
                global_devices=len(jax.devices()),
                local_devices=len(jax.local_devices()))
@@ -114,4 +172,5 @@ if __name__ == "__main__":
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
-    main(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3])
+    main(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3],
+         sys.argv[4] if len(sys.argv) > 4 else "")

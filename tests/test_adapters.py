@@ -180,7 +180,44 @@ def test_degenerate_clustering_raises_host_side():
         init_sprites=generators.generate_sprites(scene, 4),
         max_episode_length=5,
         seed=0)
-    with pytest.raises(ValueError, match="fewer than 2 clusters"):
+    with pytest.raises(ValueError, match="Davies-Bouldin metric does not"):
+        env.reset()
+
+
+def test_all_singleton_clustering_raises_host_side():
+    """2 sprites in 2 clusters: n_labels == n_samples, the upper edge of
+    sklearn's `1 < n_labels < n_samples` domain. The reference raises
+    (tasks.py:207-215 -> sklearn check_number_of_labels); the engine's raw
+    metric would degenerate to 1/(db=0) = inf, so task_valid must flag it
+    and the adapter must raise exactly where the reference does."""
+    from sklearn import metrics
+
+    # The reference's sklearn call on the same state raises:
+    with pytest.raises(ValueError, match="Number of labels"):
+        metrics.davies_bouldin_score(
+            np.array([[0.2, 0.2], [0.8, 0.8]]), np.array([0, 1]))
+
+    # One sprite per cluster, deterministically (chain of 1-sprite gens).
+    def one_sprite(c0_lo, c0_hi):
+        return generators.generate_sprites(distribs.Product([
+            distribs.Continuous("x", 0.1, 0.9),
+            distribs.Continuous("y", 0.1, 0.9),
+            distribs.Continuous("c0", c0_lo, c0_hi),
+        ]), 1)
+
+    clustering_task = tasks.Clustering(
+        cluster_distribs=[distribs.Continuous("c0", 0.0, 0.2),
+                          distribs.Continuous("c0", 0.5, 0.7)],
+        termination_threshold=2.5)
+    env = dm_env_adapter.Environment(
+        task=clustering_task,
+        action_space=actions.SelectMove(scale=0.25),
+        renderers={},
+        init_sprites=generators.ChainGenerators(
+            one_sprite(0.0, 0.2), one_sprite(0.5, 0.7)),
+        max_episode_length=5,
+        seed=0)
+    with pytest.raises(ValueError, match="Davies-Bouldin metric does not"):
         env.reset()
 
 
@@ -270,3 +307,65 @@ def test_action_space_samples_validate_against_spec(space_ctor):
             spec.validate(action)
         ts = env.step(action)
         assert ts.step_type is not None
+
+
+def test_adapter_public_surface_matches_reference():
+    """Symbol-by-symbol walk of the reference Environment's public
+    interface (SURVEY §1 L4; reference environment.py:74-161): every name a
+    reference user can call must exist and be callable here."""
+    env = _make_dm_env()
+    for name in ("reset", "step", "observation", "observation_spec",
+                 "action_spec", "state", "success", "should_terminate",
+                 "sample_contained_position"):
+        assert callable(getattr(env, name)), name
+    assert env.action_space is not None  # property, not callable
+
+
+def test_observation_renders_current_state_off_cycle():
+    """`observation()` re-renders the CURRENT state on demand, like the
+    reference (environment.py:136-142) — reference scripts poll it between
+    steps and after state changes."""
+    env = _make_dm_env(extra_renderers={
+        "image": renderers.ImageRenderer(
+            (32, 32), anti_aliasing=1, color_to_rgb="hsv",
+            use_pallas=False)})
+    ts = env.reset()
+    obs = env.observation()
+    assert set(obs.keys()) == set(ts.observation.keys())
+    np.testing.assert_array_equal(obs["image"], ts.observation["image"])
+    assert obs["factors"][0] == ts.observation["factors"][0]
+    # Step, then poll again: observation() must track the new state.
+    ts2 = env.step(np.array([0.1, 0.1, 0.9, 0.9], np.float32))
+    obs2 = env.observation()
+    np.testing.assert_array_equal(obs2["image"], ts2.observation["image"])
+    # Repeated polling is idempotent (no hidden state advance).
+    obs3 = env.observation()
+    np.testing.assert_array_equal(obs3["image"], obs2["image"])
+
+
+def test_action_space_property_is_stable_and_seeded():
+    """The reference `action_space` property returns the same object on
+    every access (environment.py:159-161). Two accesses here must yield ONE
+    object (so successive .sample() calls draw one continuous stream), the
+    stream must be reproducible across same-seeded envs, and sampling must
+    not perturb the env's episode key."""
+    env = _make_dm_env()
+    assert env.action_space is env.action_space  # one cached object
+
+    # Same-seeded envs sample identical action streams.
+    env_b = _make_dm_env()
+    s_a = [env.action_space.sample() for _ in range(3)]
+    s_b = [env_b.action_space.sample() for _ in range(3)]
+    for a, b in zip(s_a, s_b):
+        np.testing.assert_array_equal(a, b)
+    # The stream advances (it is one rng, not a fresh rng per access).
+    assert not np.array_equal(s_a[0], s_a[1])
+
+    # Sampling actions leaves the episode stream untouched: an env that
+    # sampled 100 actions resets identically to one that sampled none.
+    env_c = _make_dm_env()
+    for _ in range(100):
+        env_c.action_space.sample()
+    obs_polluted = env_c.reset().observation["factors"]
+    obs_clean = _make_dm_env().reset().observation["factors"]
+    assert list(obs_polluted) == list(obs_clean)

@@ -32,7 +32,8 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_rollout():
+def _run_workers(task: str = "", timeout: int = 240):
+    """Launch the 2-process x 4-device worker pair; return their JSON outs."""
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
@@ -44,14 +45,15 @@ def test_two_process_distributed_rollout():
     env["PYTHONPATH"] = os.pathsep.join([repo_root] + inherited)
     procs = [
         subprocess.Popen(
-            [sys.executable, _WORKER, str(pid), "2", str(port)],
+            [sys.executable, _WORKER, str(pid), "2", str(port)]
+            + ([task] if task else []),
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
             text=True, cwd=os.path.dirname(_WORKER))
         for pid in range(2)]
     outs = []
     for p in procs:
         try:
-            out, err = p.communicate(timeout=210)
+            out, err = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -59,6 +61,11 @@ def test_two_process_distributed_rollout():
         assert p.returncode == 0, f"worker failed:\n{err[-4000:]}"
         line = [l for l in out.splitlines() if l.startswith("{")][-1]
         outs.append(json.loads(line))
+    return outs
+
+
+def test_two_process_distributed_rollout():
+    outs = _run_workers()
 
     for o in outs:
         assert o["process_count"] == 2
@@ -84,3 +91,45 @@ def test_two_process_distributed_rollout():
     # Rendered pixels are u8 ints, so the checksum is exact: the image
     # observation path must be bit-identical across mesh/process shapes.
     assert local["image_sum"] == a["image_sum"]
+
+
+def _assert_metrics_equal(got, want):
+    for key in ("steps", "episodes", "successes"):
+        assert got[key] == want[key], f"metric {key}: {got} vs {want}"
+    for key in ("return_sum", "reward_sum"):
+        assert got[key] == pytest.approx(want[key], abs=1e-2), key
+
+
+def test_cross_topology_checkpoint_resume(tmp_path):
+    """A pod resize is save-under-one-mesh + restore-under-another
+    (SURVEY §5.4's 'free by construction' claim, made evidence): the
+    continued rollout's metrics must equal an uninterrupted run in BOTH
+    directions — 2-process x 4-device save -> in-process 8-device restore,
+    and in-process save -> 2-process restore."""
+    from spriteworld_tpu.parallel import mesh as mesh_lib
+
+    # Uninterrupted baseline: the in-process 'save' leg runs reset + N1
+    # steps (saving its own checkpoint mid-way) and then the N2-step
+    # continuation without any restore in between.
+    ckpt_local = str(tmp_path / "ckpt_inprocess")
+    want = _dist_worker.run_ckpt_roundtrip(
+        mesh_lib.env_mesh(), "save", ckpt_local)
+
+    # Leg 1: save under the 2-process global mesh; the workers also report
+    # their own (uninterrupted) continuation, which must match the local
+    # baseline stream.
+    ckpt_2proc = str(tmp_path / "ckpt_2proc")
+    outs = _run_workers(f"save={ckpt_2proc}")
+    _assert_metrics_equal(outs[0], outs[1])
+    _assert_metrics_equal(outs[0], want)
+    # ... then restore that 2-process checkpoint in-process on the local
+    # 8-device mesh and continue.
+    got = _dist_worker.run_ckpt_roundtrip(
+        mesh_lib.env_mesh(), "restore", ckpt_2proc)
+    _assert_metrics_equal(got, want)
+
+    # Leg 2 (vice versa): restore the in-process checkpoint under the
+    # 2-process topology and continue there.
+    outs2 = _run_workers(f"restore={ckpt_local}")
+    _assert_metrics_equal(outs2[0], outs2[1])
+    _assert_metrics_equal(outs2[0], want)

@@ -305,3 +305,40 @@ def test_scene_kernel_knob_validation():
     # Valid values still render.
     rasterize_pallas.render_rgb_batch(f, n, scene_cspan=16, scene_group=2,
                                       **kw)
+
+
+def test_explicit_scene_mode_preconditions_raise():
+    """An explicit kernel_mode='scene' whose hard preconditions fail must
+    raise, not silently degrade to strips (the explicit-mode contract in
+    renderers._pallas_call)."""
+    from spriteworld_tpu.ops import rasterize_pallas
+
+    n = jnp.ones((2,), jnp.int32)
+    # W*aa = 30 is not 8-aligned.
+    with pytest.raises(ValueError, match="kernel_mode='scene' requires"):
+        rasterize_pallas.render_rgb_batch(
+            jnp.zeros((2, 2, 10)), n, image_size=(30, 30), anti_aliasing=1,
+            interpret=True, kernel_mode="scene")
+    # Zero sprite slots.
+    with pytest.raises(ValueError, match="kernel_mode='scene' requires"):
+        rasterize_pallas.render_rgb_batch(
+            jnp.zeros((2, 0, 10)), n, image_size=(32, 32), anti_aliasing=2,
+            interpret=True, kernel_mode="scene")
+
+
+def test_scene_knobs_rejected_off_scene_path():
+    """scene_cspan/scene_group passed while the mode resolves to strips
+    would be silently ignored — reject them loudly instead."""
+    from spriteworld_tpu.ops import rasterize_pallas
+
+    f = jnp.zeros((4, 2, 10))
+    n = jnp.ones((4,), jnp.int32)
+    with pytest.raises(ValueError, match="scene_cspan/scene_group"):
+        rasterize_pallas.render_rgb_batch(
+            f, n, image_size=(32, 32), anti_aliasing=2, interpret=True,
+            kernel_mode="strips", scene_cspan=16)
+    with pytest.raises(ValueError, match="scene_cspan/scene_group"):
+        # interpret=True makes "auto" resolve to strips.
+        rasterize_pallas.render_rgb_batch(
+            f, n, image_size=(32, 32), anti_aliasing=2, interpret=True,
+            kernel_mode="auto", scene_group=2)

@@ -193,3 +193,68 @@ def test_meta_aggregated_validation():
     with pytest.raises(ValueError):
         tasks.MetaAggregated([tasks.NoReward()],
                              termination_criterion="bogus")
+
+
+def test_davies_bouldin_validity_domain_fuzz_vs_sklearn():
+    """Fuzz degenerate memberships: the engine's validity predicate
+    (n_labels >= 2) & (n_labels < n_samples) — what Clustering.valid
+    computes — must accept EXACTLY the states sklearn's
+    davies_bouldin_score accepts (check_number_of_labels:
+    1 < n_labels < n_samples), and match its value wherever both are
+    defined. Covers unassigned points, absent clusters, all-singleton
+    clusters, and the single-cluster case."""
+    from sklearn import metrics
+
+    rng = np.random.default_rng(7)
+    tried_raise = tried_value = 0
+    for trial in range(60):
+        n = int(rng.integers(2, 9))
+        c = int(rng.integers(1, 5))
+        pos = rng.uniform(0, 1, (n, 2)).astype(np.float32)
+        # -1 = unassigned (reference drops those rows, tasks.py:210-213).
+        labels = rng.integers(-1, c, n)
+        if trial % 3 == 0:  # force the all-singleton edge to appear often
+            labels = np.arange(n) % c
+            rng.shuffle(labels)
+            labels = labels[:n]
+        member = np.zeros((n, c), bool)
+        assigned = labels >= 0
+        member[np.arange(n)[assigned], labels[assigned]] = True
+
+        n_labels = int(member.any(axis=0).sum())
+        n_samples = int(member.sum())
+        ours_valid = (n_labels >= 2) and (n_labels < n_samples)
+
+        try:
+            want = metrics.davies_bouldin_score(
+                pos[assigned], labels[assigned]) if n_samples else None
+            sk_valid = n_samples > 0
+        except ValueError:
+            want, sk_valid = None, False
+        assert ours_valid == sk_valid, (
+            f"trial {trial}: valid mismatch labels={labels}")
+        tried_raise += not sk_valid
+        if sk_valid:
+            tried_value += 1
+            ours = float(clustering_ops.davies_bouldin_index(
+                jnp.asarray(pos), jnp.asarray(member)))
+            assert 1.0 / ours == pytest.approx(1.0 / want, rel=1e-4) \
+                or ours == pytest.approx(want, rel=1e-4), f"trial {trial}"
+    # The fuzz must actually exercise both sides of the domain boundary.
+    assert tried_raise >= 10 and tried_value >= 10
+
+
+def test_clustering_valid_rejects_all_singletons():
+    """Task-level: 2 sprites, one per cluster -> valid() False (sklearn
+    raises at n_labels == n_samples); 3 sprites with a 2-member cluster ->
+    valid() True."""
+    c0 = np.array([0.1, 0.6, 0.1], np.float32)
+    f = np.zeros((3, 10), np.float32)
+    f[:, 0] = [0.2, 0.8, 0.4]  # x
+    f[:, 1] = [0.2, 0.8, 0.6]  # y
+    f[:, 5] = c0
+    task = tasks.Clustering(
+        cluster_distribs=[distribs.Continuous("c0", 0.0, 0.2),
+                          distribs.Continuous("c0", 0.5, 0.7)])
+    assert not bool(task.valid(jnp.asarray(f), jnp.int32(2)))  # singletons
+    assert bool(task.valid(jnp.asarray(f), jnp.int32(3)))
