@@ -132,3 +132,58 @@ def test_vmap_batches_over_scenes():
     for i, (f, n) in enumerate(scenes):
         np.testing.assert_array_equal(
             np.asarray(batched[i]), np.asarray(fn(f, n)))
+
+
+@pytest.mark.parametrize("pil_exact", [True, False])
+@pytest.mark.parametrize("scale_range", [(0.02, 0.1), (0.1, 0.35)],
+                         ids=["tiny", "normal"])
+def test_scene_fastok_adversarial_fuzz(pil_exact, scale_range):
+    """Adversarial oracle for the single-interval fast path: the scene
+    kernel must stay pixel-equivalent to the XLA rasterizer on heavily
+    truncation-degenerate sprites (tiny scales collapse edges to
+    horizontal runs and merge vertices — exactly the corners where
+    `_scene_fastok`'s geometric soundness analysis could over-approximate
+    and silently skip needed per-edge work). A single wrong supersample
+    at aa=5 shifts the box average by ~10 levels, so the +-1 downsample
+    tolerance still catches any fill-mask error."""
+    b, kmax = 48, 6
+    rng = np.random.RandomState(hash(scale_range) % 2**31)
+    factors = np.tile(state_lib.DEFAULT_FACTORS, (b, kmax, 1))
+    factors[..., state_lib.X] = rng.uniform(0.1, 0.9, (b, kmax))
+    factors[..., state_lib.Y] = rng.uniform(0.1, 0.9, (b, kmax))
+    factors[..., state_lib.SHAPE] = rng.randint(1, 13, (b, kmax))
+    factors[..., state_lib.ANGLE] = rng.uniform(0, 360, (b, kmax))
+    factors[..., state_lib.SCALE] = rng.uniform(*scale_range, (b, kmax))
+    factors[..., 5:8] = rng.randint(0, 256, (b, kmax, 3))
+    factors = jnp.asarray(factors, jnp.float32)
+    nums = jnp.asarray(rng.randint(0, kmax + 1, b), jnp.int32)
+
+    kw = dict(image_size=(32, 32), anti_aliasing=5, pil_exact=pil_exact,
+              downsample="box")
+    want = jax.vmap(functools.partial(rasterize.render_rgb, **kw))(
+        factors, nums)
+    got = rasterize_pallas.render_rgb_batch(
+        factors, nums, interpret=True, kernel_mode="scene", **kw)
+
+    # Airtight fast-path oracle: the SAME kernel with the fast path
+    # force-disabled must be bit-identical — any `_scene_fastok`
+    # over-approximation flips fill-mask pixels here with zero tolerance.
+    orig = rasterize_pallas._scene_fastok
+    rasterize_pallas._scene_fastok = \
+        lambda edges, gymax, hc, pe: jnp.zeros(edges.shape[:2], bool)
+    try:
+        rasterize_pallas.render_rgb_batch.clear_cache()
+        slow = rasterize_pallas.render_rgb_batch(
+            factors, nums, interpret=True, kernel_mode="scene", **kw)
+    finally:
+        rasterize_pallas._scene_fastok = orig
+        rasterize_pallas.render_rgb_batch.clear_cache()
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(slow))
+
+    # Sanity vs the XLA rasterizer: XLA:CPU FMA-contracts one path's xi
+    # by 1 ulp in rare overlap rows (pre-existing, CPU-only; the TPU
+    # compiled paths agree bit-exactly), so allow a small, rare residual.
+    diff = np.abs(np.asarray(want).astype(np.int32)
+                  - np.asarray(got).astype(np.int32))
+    assert diff.max() <= 3, f"max diff {diff.max()} at {np.argwhere(diff > 1)[:5]}"
+    assert (diff > 1).mean() < 1e-4
