@@ -119,15 +119,43 @@ def _build_edge_tables(verts_c, counts, pil_exact: bool):
     # tiny dynamic gathers catastrophically (take_along_axis here cost 83ms
     # per 2048-scene batch — half the whole AA=5 render; one-hot is ~free).
     def neighbor(direction):
+        """Nearest distinct cyclic neighbor within 3 steps, gather-free.
+
+        The cyclic access x0[(i + direction*step) mod count] is a static
+        roll plus a wrap fix-up: forward, valid edges can only overrun the
+        count boundary by step-1 <= 2 positions, which are the STATIC
+        vertices 0..2; backward, the underrun positions are count-1-t for
+        t in 0..2, each a single masked reduction. This replaces the
+        per-step [K, V, V] one-hot einsums (12 per prepare; a dynamic
+        gather here measured 83 ms per 2048-scene batch, and the one-hot
+        dots still paid operand materialization).
+        """
         nx = jnp.zeros_like(x0)
         ny = jnp.zeros_like(y0)
         found = jnp.zeros_like(x0, dtype=bool)
+        if direction < 0:
+            wrap = [
+                (jnp.sum(jnp.where(idx[None, :] == counts[:, None] - 1 - t,
+                                   x0, 0.0), -1, keepdims=True),
+                 jnp.sum(jnp.where(idx[None, :] == counts[:, None] - 1 - t,
+                                   y0, 0.0), -1, keepdims=True))
+                for t in range(3)]
         for step in (1, 2, 3):
-            j = jnp.mod(idx[None, :] + direction * step,
-                        jnp.maximum(counts[:, None], 1))
-            onehot = (j[..., None] == idx).astype(x0.dtype)  # [K, V, V]
-            cx = jnp.einsum("kvu,ku->kv", onehot, x0)
-            cy = jnp.einsum("kvu,ku->kv", onehot, y0)
+            cx = jnp.roll(x0, -direction * step, axis=-1)
+            cy = jnp.roll(y0, -direction * step, axis=-1)
+            if direction > 0:
+                # i < count implies i + step - count <= step - 1 <= 2.
+                over = idx[None, :] + step - counts[:, None]
+                for t in range(3):
+                    sel = over == t
+                    cx = jnp.where(sel, x0[:, t:t + 1], cx)
+                    cy = jnp.where(sel, y0[:, t:t + 1], cy)
+            else:
+                under = idx[None, :] - step
+                for t in range(3):
+                    sel = under == -(t + 1)
+                    cx = jnp.where(sel, wrap[t][0], cx)
+                    cy = jnp.where(sel, wrap[t][1], cy)
             differs = (cx != x0) | (cy != y0)
             take = (~found) & differs
             nx = jnp.where(take, cx, nx)
@@ -238,13 +266,18 @@ def _scene_fastok(edges, gymax, hc: int, pil_exact: bool):
         idx = jnp.arange(v)
         nxt_dir = jnp.zeros_like(dirs)
         nxt_found = jnp.zeros_like(slant)
+        # Gather-free cyclic walk: roll + static wrap fix-up (valid edges
+        # overrun the count boundary by at most step-1 <= 2 positions,
+        # which are the static indices 0..2) — same trick as the
+        # _build_edge_tables neighbor search.
         for step in (1, 2, 3):
-            j = jnp.mod(idx[None, None, :] + step,
-                        jnp.maximum(counts[..., None], 1).astype(idx.dtype))
-            onehot = (j[..., None] == idx).astype(dirs.dtype)
-            c_dir = jnp.einsum("bkvu,bku->bkv", onehot, dirs)
-            c_slant = jnp.einsum(
-                "bkvu,bku->bkv", onehot, slant.astype(dirs.dtype)) > 0.0
+            c_dir = jnp.roll(dirs, -step, axis=-1)
+            c_slant = jnp.roll(slant, -step, axis=-1)
+            over = idx + step - counts[..., None].astype(idx.dtype)
+            for t in range(3):
+                sel = over == t
+                c_dir = jnp.where(sel, dirs[..., t:t + 1], c_dir)
+                c_slant = jnp.where(sel, slant[..., t:t + 1], c_slant)
             take = (~nxt_found) & c_slant
             nxt_dir = jnp.where(take, c_dir, nxt_dir)
             nxt_found |= c_slant
@@ -314,10 +347,10 @@ def _fill_kernel_scene(*refs,
     pays per ACTIVE feature (usually 0-3), not per vertex.
     """
     if pil_exact:
-        (tab_ref, ef_ref, rt_ref, lt_ref, out_ref, canvas_ref, xscr_ref,
+        (tab_ref, ef_ref, *mat_refs, out_ref, canvas_ref, xscr_ref,
          wscr_ref, ab_ref) = refs
     else:
-        (tab_ref, ef_ref, rt_ref, lt_ref, out_ref, canvas_ref, xscr_ref,
+        (tab_ref, ef_ref, *mat_refs, out_ref, canvas_ref, xscr_ref,
          ab_ref) = refs
         wscr_ref = None
     vp = ef_ref.shape[3]
@@ -563,47 +596,61 @@ def _fill_kernel_scene(*refs,
         # Unpack packed-RGB exactly (integers <= 2^24, power-of-two
         # divisors) and downsample both axes on the MXU, transposed space.
         p = canvas_ref[...]
-        rt = rt_ref[...]
-        lt = lt_ref[...]
 
         _dims = (((1,), (0,)), ((), ()))
 
-        def split_dot(a, b, split_left):
-            """f32-accurate matmul in 2 bf16 MXU passes (vs HIGHEST's 6).
-
-            The non-tap operand is integer-valued <= 255 (bf16-exact); the
-            tap matrix is split hi+lo so the only error is the lo residual
-            quantization, ~2^-18 relative — absolute <~1e-3 on sums <= 324,
-            far inside the 0.5 margin of the PIL fixed-point rounding.
-            """
-            taps = a if split_left else b
-            hi = taps.astype(jnp.bfloat16)
-            lo = (taps - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            other = (b if split_left else a).astype(jnp.bfloat16)
-            args = ((hi, other), (lo, other)) if split_left \
-                else ((other, hi), (other, lo))
-            return sum(
-                jax.lax.dot_general(
-                    x, y, _dims, preferred_element_type=jnp.float32)
-                for x, y in args)
-
-        for c in range(3):
+        def unpack(c):
             if c == 0:
-                ch = jnp.floor(p * (1.0 / 65536.0))
-            elif c == 1:
-                ch = (jnp.floor(p * (1.0 / 256.0))
-                      - jnp.floor(p * (1.0 / 65536.0)) * 256.0)
-            else:
-                ch = p - jnp.floor(p * (1.0 / 256.0)) * 256.0
-            if lanczos:
-                # Both pass inputs are exact uint8-range integers (the
-                # canvas, then the PIL-quantized h-pass), so split-tap
-                # 2-pass bf16 keeps the quantized outputs correct.
-                t = split_dot(rt, ch, split_left=True)     # [w, hc]
-                t = jnp.clip(jnp.floor(t + 0.5), 0.0, 255.0)
-                o = split_dot(t, lt, split_left=False)     # [w, h]
-                o = jnp.clip(jnp.floor(o + 0.5), 0.0, 255.0)
-            elif pil_exact:
+                return jnp.floor(p * (1.0 / 65536.0))
+            if c == 1:
+                return (jnp.floor(p * (1.0 / 256.0))
+                        - jnp.floor(p * (1.0 / 65536.0)) * 256.0)
+            return p - jnp.floor(p * (1.0 / 256.0)) * 256.0
+
+        def store(c, o):
+            # u8 store: 4x less output traffic than f32 + cheap epilogue.
+            # (f32->u8 isn't a supported Mosaic cast; hop through int32.)
+            out_ref[g, c] = jnp.clip(o, 0.0, 255.0).astype(
+                jnp.int32).astype(jnp.uint8)
+
+        if lanczos:
+            # Split-tap exact bf16 downsample (tap = hi + lo, both operands
+            # of every dot bf16-exact; residual ~2^-18 relative — far
+            # inside the 0.5 PIL rounding margin), laid out for MXU
+            # utilization: the h-pass taps arrive HOST-stacked as
+            # [hi; lo] = [2w, wc], so one M=128-full pass per channel
+            # replaces two half-idle M=64 passes; the v-pass stacks all
+            # three channels' h-results into [3w, hcp] so its two tap
+            # passes run at M=192 instead of six M=64/N=64 quarter-idle
+            # dots. Arithmetic is bit-identical to the per-channel
+            # split_dot it replaces (M-rows of a matmul are independent).
+            rt2_ref, lthi_ref, ltlo_ref = mat_refs
+            rt2 = rt2_ref[...]
+            ts = []
+            for c in range(3):
+                oh = jax.lax.dot_general(
+                    rt2, unpack(c).astype(jnp.bfloat16), _dims,
+                    preferred_element_type=jnp.float32)   # [2w, hcp]
+                t = oh[0:w, :] + oh[w:2 * w, :]
+                ts.append(jnp.clip(jnp.floor(t + 0.5), 0.0, 255.0))
+            t3 = jnp.concatenate(ts, axis=0).astype(jnp.bfloat16)
+            o3 = jax.lax.dot_general(
+                t3, lthi_ref[...], _dims,
+                preferred_element_type=jnp.float32) \
+                + jax.lax.dot_general(
+                    t3, ltlo_ref[...], _dims,
+                    preferred_element_type=jnp.float32)   # [3w, h]
+            o3 = jnp.clip(jnp.floor(o3 + 0.5), 0.0, 255.0)
+            for c in range(3):
+                store(c, o3[c * w:(c + 1) * w, :])
+            return 0
+
+        rt_ref, lt_ref = mat_refs
+        rt = rt_ref[...]
+        lt = lt_ref[...]
+        for c in range(3):
+            ch = unpack(c)
+            if pil_exact:
                 # Box average in full f32 (rare mode; keeps legacy parity).
                 t = jax.lax.dot_general(
                     rt, ch, _dims,
@@ -621,12 +668,7 @@ def _fill_kernel_scene(*refs,
                 o = jax.lax.dot_general(
                     t.astype(jnp.bfloat16), lt.astype(jnp.bfloat16),
                     _dims, preferred_element_type=jnp.float32)
-            if not lanczos:
-                o = jnp.round(o)  # box average -> nearest (round-half-even)
-            # u8 store: 4x less output traffic than f32 + cheap epilogue.
-            # (f32->u8 isn't a supported Mosaic cast; hop through int32.)
-            out_ref[g, c] = jnp.clip(o, 0.0, 255.0).astype(
-                jnp.int32).astype(jnp.uint8)
+            store(c, jnp.round(o))  # box average -> nearest (half-even)
         return 0
 
     if group == 1:
@@ -1231,6 +1273,35 @@ def render_rgb_batch(factors: jnp.ndarray,
             scratch.append(pltpu.VMEM((vp, hcp), jnp.float32))  # trimmed wgt
         # Single-interval fast path: per-row a/b interval bounds.
         scratch.append(pltpu.VMEM((8, hcp), jnp.float32))
+        if lanczos:
+            # Host-side split-tap layout for the in-kernel downsample: the
+            # h-pass taps stacked [hi; lo] on M, the v-pass hi/lo as two
+            # operands (see the kernel's lanczos branch).
+            rtj = jnp.asarray(rt_host)
+            rhi = rtj.astype(jnp.bfloat16)
+            rt2 = jnp.concatenate(
+                [rhi, (rtj - rhi.astype(jnp.float32)).astype(jnp.bfloat16)],
+                axis=0)                                      # [2w, wc]
+            ltj = jnp.asarray(lt_host)
+            lhi = ltj.astype(jnp.bfloat16)
+            llo = (ltj - lhi.astype(jnp.float32)).astype(jnp.bfloat16)
+            mats = (rt2, lhi, llo)
+            mat_specs = [
+                pl.BlockSpec((2 * w, wc), lambda b_: (0, 0),
+                             memory_space=pltpu.VMEM),       # [Rh^T hi; lo]
+                pl.BlockSpec((hcp, h), lambda b_: (0, 0),
+                             memory_space=pltpu.VMEM),       # Lv^T hi
+                pl.BlockSpec((hcp, h), lambda b_: (0, 0),
+                             memory_space=pltpu.VMEM),       # Lv^T lo
+            ]
+        else:
+            mats = (jnp.asarray(rt_host), jnp.asarray(lt_host))
+            mat_specs = [
+                pl.BlockSpec((w, wc), lambda b_: (0, 0),
+                             memory_space=pltpu.VMEM),       # Rh^T
+                pl.BlockSpec((hcp, h), lambda b_: (0, 0),
+                             memory_space=pltpu.VMEM),       # Lv^T (flip)
+            ]
         out = pl.pallas_call(
             kernel,
             grid=(b // group,),
@@ -1240,10 +1311,7 @@ def render_rgb_batch(factors: jnp.ndarray,
                 pl.BlockSpec((group, k, _NEF, vp),
                              lambda b_: (b_, 0, 0, 0),
                              memory_space=pltpu.VMEM),       # edge fields
-                pl.BlockSpec((w, wc), lambda b_: (0, 0),
-                             memory_space=pltpu.VMEM),       # Rh^T
-                pl.BlockSpec((hcp, h), lambda b_: (0, 0),
-                             memory_space=pltpu.VMEM),       # Lv^T (flip)
+                *mat_specs,
             ],
             out_specs=pl.BlockSpec(
                 (group, 3, w, h), lambda b_: (b_, 0, 0, 0),
@@ -1251,7 +1319,7 @@ def render_rgb_batch(factors: jnp.ndarray,
             out_shape=jax.ShapeDtypeStruct((b, 3, w, h), jnp.uint8),
             scratch_shapes=scratch,
             interpret=interpret,
-        )(tab, ef, jnp.asarray(rt_host), jnp.asarray(lt_host))
+        )(tab, ef, *mats)
         # [B, 3, x, y] -> [B, y, x, 3] (y = final image row, flip done).
         return out.transpose(0, 3, 2, 1)
     cshape = ((hc * wc) // 128, 128) if packed else (strip_rows, wc)
