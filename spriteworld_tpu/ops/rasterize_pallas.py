@@ -488,23 +488,21 @@ def _fill_kernel_scene(*refs,
             rhi = jnp.clip(S(k, _TS_B1).astype(jnp.int32), 0, hc - 1)
             lt0 = (rlo // 128) * 128
             nlt = rhi // 128 - rlo // 128 + 1
-            ntiles = jnp.where(count > 0, nwin * nlt, 0)
 
-            def win_body(idx, __, k=k, count=count, clo8=clo8,
+            # Tiles iterate as nested loops — window (sublane) outer,
+            # lane tile inner — so the column iotas hoist out of the inner
+            # loop and the per-tile index math is pure adds (a dynamic
+            # divmod per tile plus the recomputed iotas measured ~0.2 us
+            # per extra tile). All offsets are multiples of 8 / 128 by
+            # construction — hint it so Mosaic allows the dynamic offsets.
+            def win_body(wi, __, k=k, count=count, clo8=clo8,
                          nlt=nlt, lt0=lt0, sound=sound):
-                wi = idx // nlt
-                li = idx - wi * nlt
-                # All terms are multiples of 8 / 128 by construction —
-                # hint it so Mosaic allows the dynamic offsets.
                 cstart = pl.multiple_of(
                     jnp.minimum(clo8 + wi * cspan, wc - cspan), 8)
-                lstart = pl.multiple_of(lt0 + li * 128, 128)
                 cols = (cstart + jax.lax.broadcasted_iota(
                     jnp.int32, (cspan, 1), 0)).astype(jnp.float32) + half
                 colsm = cols - 0.5
                 colsp = cols + 0.5
-                rows_t = (lstart + jax.lax.broadcasted_iota(
-                    jnp.int32, (1, 128), 1)).astype(jnp.float32) + half
 
                 # Single-interval sprites (all convex shapes; all-rows-ok
                 # scalar from the build pass) skip the per-edge loop
@@ -513,81 +511,91 @@ def _fill_kernel_scene(*refs,
                 # 30-gon circle. The zero-trip fori leaves the slow mask
                 # empty, so the OR below is the fast mask alone.
                 nchunk = jnp.where(sound > 0.0, 0, pl.cdiv(count, 8))
-                af = ab_ref[0:1, pl.ds(lstart, 128)]
-                bf = ab_ref[1:2, pl.ds(lstart, 128)]
-                if pil_exact:
-                    # One accumulator holds both counts: acc = 1025*le + win
-                    # (both <= ~60, exact in f32) — halves the big fori
-                    # carries. Edges are consumed 8 at a time: the loop
-                    # reads one tile-aligned [8, 128] slab per trip (the
-                    # pl.ds offsets are provably sublane/lane multiples)
-                    # and unrolls the 8 rows statically — measured ~4x
-                    # cheaper than per-edge dynamic single-row reads, and
-                    # padded rows are weight-0 neutral. The odd-total trim
-                    # is baked into the weight scratch (above), so the
-                    # fill decision is the plain parity/window rule.
-                    def chunk(c8, carry):
-                        base = pl.multiple_of(c8 * 8, 8)
-                        xis = xscr_ref[pl.ds(base, 8), pl.ds(lstart, 128)]
-                        wgs = wscr_ref[pl.ds(base, 8), pl.ds(lstart, 128)]
-                        wgs1025 = wgs * 1025.0
-                        for i in range(8):
-                            xi = xis[i:i + 1, :]
-                            # Nested selects: an le-edge contributes 1025w
-                            # (le subset-of bc, so it is in both counts),
-                            # a window-only edge w — one add per edge
-                            # instead of two, and select(cmp, wgt, 0) is
-                            # one VPU op vs the two of wgt * cmp.f32. The
-                            # 1025 packing decodes exactly below via the
-                            # power-of-two 2^-10 multiply.
-                            carry = carry + jnp.where(
-                                xi <= colsm, wgs1025[i:i + 1, :],
-                                jnp.where(xi < colsp,
-                                          wgs[i:i + 1, :], 0.0))
-                        return carry
 
-                    acc = jax.lax.fori_loop(
-                        0, nchunk, chunk,
-                        jnp.zeros((cspan, 128), jnp.float32))
-                    le = jnp.floor(acc * (1.0 / 1024.0))
-                    win = acc - le * 1025.0  # bc - le
-                    fastm = (sound > 0.0) & (af < colsp) & (bf > colsm)
-                    mask = ((jnp.mod(le, 2.0) == 1.0)
-                            | (win > 0) | fastm).astype(jnp.int32)
+                def lt_body(li, ___):
+                    lstart = pl.multiple_of(lt0 + li * 128, 128)
+                    rows_t = (lstart + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, 128), 1)).astype(jnp.float32) + half
+                    ab2 = ab_ref[0:2, pl.ds(lstart, 128)]  # one dyn read
+                    af = ab2[0:1, :]
+                    bf = ab2[1:2, :]
+                    if pil_exact:
+                        # One accumulator holds both counts: acc = 1025*le + win
+                        # (both <= ~60, exact in f32) — halves the big fori
+                        # carries. Edges are consumed 8 at a time: the loop
+                        # reads one tile-aligned [8, 128] slab per trip (the
+                        # pl.ds offsets are provably sublane/lane multiples)
+                        # and unrolls the 8 rows statically — measured ~4x
+                        # cheaper than per-edge dynamic single-row reads, and
+                        # padded rows are weight-0 neutral. The odd-total trim
+                        # is baked into the weight scratch (above), so the
+                        # fill decision is the plain parity/window rule.
+                        def chunk(c8, carry):
+                            base = pl.multiple_of(c8 * 8, 8)
+                            xis = xscr_ref[pl.ds(base, 8), pl.ds(lstart, 128)]
+                            wgs = wscr_ref[pl.ds(base, 8), pl.ds(lstart, 128)]
+                            wgs1025 = wgs * 1025.0
+                            for i in range(8):
+                                xi = xis[i:i + 1, :]
+                                # Nested selects: an le-edge contributes 1025w
+                                # (le subset-of bc, so it is in both counts),
+                                # a window-only edge w — one add per edge
+                                # instead of two, and select(cmp, wgt, 0) is
+                                # one VPU op vs the two of wgt * cmp.f32. The
+                                # 1025 packing decodes exactly below via the
+                                # power-of-two 2^-10 multiply.
+                                carry = carry + jnp.where(
+                                    xi <= colsm, wgs1025[i:i + 1, :],
+                                    jnp.where(xi < colsp,
+                                              wgs[i:i + 1, :], 0.0))
+                            return carry
 
-                    # Compacted features: integer intervals on single rows.
-                    nf = S(k, _TS_NF).astype(jnp.int32)
+                        acc = jax.lax.fori_loop(
+                            0, nchunk, chunk,
+                            jnp.zeros((cspan, 128), jnp.float32))
+                        le = jnp.floor(acc * (1.0 / 1024.0))
+                        win = acc - le * 1025.0  # bc - le
+                        fastm = (sound > 0.0) & (af < colsp) & (bf > colsm)
+                        mask = ((jnp.mod(le, 2.0) == 1.0)
+                                | (win > 0) | fastm).astype(jnp.int32)
 
-                    def fbody(j, acc_):
-                        frow = F(k, j, 0)
-                        flo = F(k, j, 1)
-                        fhi = F(k, j, 2)
-                        return acc_ | ((rows_t == frow)
-                                       & (cols >= flo)
-                                       & (cols <= fhi)).astype(jnp.int32)
+                        # Compacted features: integer intervals on single rows.
+                        nf = S(k, _TS_NF).astype(jnp.int32)
 
-                    mask = jax.lax.fori_loop(0, nf, fbody, mask)
-                else:
-                    def cchunk(c8, acc):
-                        base = pl.multiple_of(c8 * 8, 8)
-                        xis = xscr_ref[pl.ds(base, 8), pl.ds(lstart, 128)]
-                        for i in range(8):
-                            acc = acc ^ (
-                                cols < xis[i:i + 1, :]).astype(jnp.int32)
-                        return acc
+                        def fbody(j, acc_):
+                            frow = F(k, j, 0)
+                            flo = F(k, j, 1)
+                            fhi = F(k, j, 2)
+                            return acc_ | ((rows_t == frow)
+                                           & (cols >= flo)
+                                           & (cols <= fhi)).astype(jnp.int32)
 
-                    mask = jax.lax.fori_loop(
-                        0, nchunk, cchunk,
-                        jnp.zeros((cspan, 128), jnp.int32))
-                    mask = mask | ((sound > 0.0) & (cols >= af)
-                                   & (cols < bf)).astype(jnp.int32)
+                        mask = jax.lax.fori_loop(0, nf, fbody, mask)
+                    else:
+                        def cchunk(c8, acc):
+                            base = pl.multiple_of(c8 * 8, 8)
+                            xis = xscr_ref[pl.ds(base, 8), pl.ds(lstart, 128)]
+                            for i in range(8):
+                                acc = acc ^ (
+                                    cols < xis[i:i + 1, :]).astype(jnp.int32)
+                            return acc
 
-                old = canvas_ref[pl.ds(cstart, cspan), pl.ds(lstart, 128)]
-                canvas_ref[pl.ds(cstart, cspan), pl.ds(lstart, 128)] = \
-                    jnp.where(mask > 0, S(k, _TS_COLOR), old)
+                        mask = jax.lax.fori_loop(
+                            0, nchunk, cchunk,
+                            jnp.zeros((cspan, 128), jnp.int32))
+                        mask = mask | ((sound > 0.0) & (cols >= af)
+                                       & (cols < bf)).astype(jnp.int32)
+
+                    old = canvas_ref[pl.ds(cstart, cspan),
+                                     pl.ds(lstart, 128)]
+                    canvas_ref[pl.ds(cstart, cspan), pl.ds(lstart, 128)] = \
+                        jnp.where(mask > 0, S(k, _TS_COLOR), old)
+                    return 0
+
+                jax.lax.fori_loop(0, nlt, lt_body, 0)
                 return 0
 
-            jax.lax.fori_loop(0, ntiles, win_body, 0)
+            jax.lax.fori_loop(0, jnp.where(count > 0, nwin, 0), win_body, 0)
 
         for k in range(num_slots):
             build(k)
