@@ -56,6 +56,10 @@ from spriteworld_tpu.ops import resample
 _COUNTS_HOST = constants.VERTEX_COUNTS
 _BIG = 1e9
 
+# Experiment toggles (trace-time; see PERF_NOTES.md before flipping).
+_BUILD_NO_BRANCH = False   # build every sprite on the full Vp slab, no when
+_SCALAR_PROBE = 0          # extra dummy SMEM scalar reads per sprite (cost probe)
+
 # Edge-table field indices (packed [..., V, NE]; the kernel reads fields as
 # scalar SMEM loads at static addresses).
 _E_Y0, _E_Y1, _E_X0, _E_M, _E_SLANT, _E_YMIN, _E_YMAX, _E_HORIZ, \
@@ -308,7 +312,8 @@ def _fill_kernel_scene(*refs,
                        num_slots: int, max_vertices: int,
                        hc: int, wc: int, h: int, w: int,
                        pil_exact: bool, bg_packed: float, lanczos: bool,
-                       cspan: int, group: int, interpret: bool):
+                       cspan: int, group: int, interpret: bool,
+                       identity_ds: bool = False):
     """One program = `group` whole scenes, on a TRANSPOSED canvas (AA>1).
 
     Layout is the heart of this kernel: the packed-RGB canvas lives in VMEM
@@ -355,7 +360,15 @@ def _fill_kernel_scene(*refs,
         wscr_ref = None
     vp = ef_ref.shape[3]
     half = 0.0 if pil_exact else 0.5
-    hcp = canvas_ref.shape[1]  # row dim padded to a 128-lane multiple
+    # Row (lane) dim: `hcl` is the logical canvas width padded to a
+    # 128-lane multiple. `twidth` is the lane width of one fill tile.
+    # (Negative result, measured on v5e: allocating scratch 128 lanes
+    # wider and filling one [span, 256] window per sprite instead of 1-2
+    # [span, 128] tiles cost ~0.8 ms/2048 scenes at 64x64/AA=5 — a wide
+    # dynamic access is as expensive as two narrow ones, and the extra
+    # lanes of vector work are pure loss.)
+    hcl = canvas_ref.shape[1]
+    twidth = 128
 
     def scene_body(g, _):
         def S(k, i):
@@ -364,9 +377,10 @@ def _fill_kernel_scene(*refs,
         def F(k, j, c):
             return tab_ref[g, k, _NS + j * 3 + c]
 
-        canvas_ref[...] = jnp.full((wc, hcp), bg_packed, jnp.float32)
+        canvas_ref[:, 0:hcl] = jnp.full((wc, hcl), bg_packed,
+                                        jnp.float32)
         rows_f = jax.lax.broadcasted_iota(
-            jnp.int32, (1, hcp), 1).astype(jnp.float32) + half
+            jnp.int32, (1, hcl), 1).astype(jnp.float32) + half
 
         # Scanline tables for ALL edges at once (~30 ops on [Vp, hcp]) from
         # the sprite's [8, Vp] field block; for the exact fill, Pillow's
@@ -415,8 +429,8 @@ def _fill_kernel_scene(*refs,
                 prod = (rows_f - y0c) * mc
                 if interpret:
                     prod = jax.lax.optimization_barrier(prod)
-                xi_full = x0c + prod  # [sz, hcp]
-                xscr_ref[0:sz, :] = xi_full
+                xi_full = x0c + prod  # [sz, hcl]
+                xscr_ref[0:sz, 0:hcl] = xi_full
                 if pil_exact:
                     ymn, ymx = col(_EF_YMIN), col(_EF_YMAX)
                     inr = (rows_f >= ymn) & (rows_f <= ymx)
@@ -429,13 +443,13 @@ def _fill_kernel_scene(*refs,
                                    axis=0, keepdims=True)
                     ismax = (wgt_raw > 0) & (xi_full == rmax)
                     vio = jax.lax.broadcasted_iota(
-                        jnp.int32, (sz, hcp), 0)
+                        jnp.int32, (sz, hcl), 0)
                     fidx = jnp.min(jnp.where(ismax, vio, sz), axis=0,
                                    keepdims=True)
                     first = vio == fidx
                     wgt = wgt_raw - (odd & ismax
                                      & first).astype(jnp.float32)
-                    wscr_ref[0:sz, :] = wgt
+                    wscr_ref[0:sz, 0:hcl] = wgt
                     posw = wgt > 0.0
                     a_row = jnp.min(
                         jnp.where(posw, xi_full, _BIG), axis=0,
@@ -445,17 +459,20 @@ def _fill_kernel_scene(*refs,
                         keepdims=True)
                 else:
                     straddle = (y0c > rows_f) != (col(_EF_Y1) > rows_f)
-                    xscr_ref[0:sz, :] = jnp.where(straddle, xi_full, -_BIG)
+                    xscr_ref[0:sz, 0:hcl] = jnp.where(
+                        straddle, xi_full, -_BIG)
                     a_row = jnp.min(
                         jnp.where(straddle, xi_full, _BIG), axis=0,
                         keepdims=True)
                     b_row = jnp.max(
                         jnp.where(straddle, xi_full, -_BIG), axis=0,
                         keepdims=True)
-                ab_ref[0:1, :] = a_row
-                ab_ref[1:2, :] = b_row
+                ab_ref[0:1, 0:hcl] = a_row
+                ab_ref[1:2, 0:hcl] = b_row
 
-            if vp > 8:
+            if _BUILD_NO_BRANCH:
+                table_pass(vp)
+            elif vp > 8:
                 @pl.when((count > 0) & (count <= 8))
                 def _small():
                     table_pass(8)
@@ -468,14 +485,128 @@ def _fill_kernel_scene(*refs,
                 def _only():
                     table_pass(vp)
 
+        # Single-tile canvases (the whole frame is one [wc, 128] block —
+        # the anti_aliasing=1 case) take a fully static fill: no window /
+        # lane-tile fori machinery, no dynamic canvas addressing. Measured
+        # on v5e the dynamic-loop scaffolding (trip-count math, dynamic
+        # sublane/lane offsets, loop carries) dominated the tiny per-tile
+        # vector work at 64x64/aa=1.
+        single_tile = hcl == 128 and wc <= cspan
+
+        def tile_fill(span, cstart, lstart, cols, colsm, colsp,
+                      k, count, sound):
+            """Fill one [span, 128] canvas tile for sprite k.
+
+            `span` is static; `cstart`/`lstart` may be 0 (static) or
+            8/128-aligned dynamic offsets.
+            """
+            rows_t = (lstart + jax.lax.broadcasted_iota(
+                jnp.int32, (1, twidth), 1)).astype(jnp.float32) + half
+            ab2 = ab_ref[0:2, pl.ds(lstart, twidth)]  # one dyn read
+            af = ab2[0:1, :]
+            bf = ab2[1:2, :]
+            # Single-interval sprites (all convex shapes; all-rows-ok
+            # scalar from the build pass) skip the per-edge loop
+            # entirely: the whole fill is two compares against the
+            # per-row interval bounds — ~10x fewer tile ops for a
+            # 30-gon circle. The zero-trip fori leaves the slow mask
+            # empty, so the OR below is the fast mask alone.
+            nchunk = jnp.where(sound > 0.0, 0, pl.cdiv(count, 8))
+            if pil_exact:
+                # One accumulator holds both counts: acc = 1025*le + win
+                # (both <= ~60, exact in f32) — halves the big fori
+                # carries. Edges are consumed 8 at a time: the loop
+                # reads one tile-aligned [8, 128] slab per trip (the
+                # pl.ds offsets are provably sublane/lane multiples)
+                # and unrolls the 8 rows statically — measured ~4x
+                # cheaper than per-edge dynamic single-row reads, and
+                # padded rows are weight-0 neutral. The odd-total trim
+                # is baked into the weight scratch (above), so the
+                # fill decision is the plain parity/window rule.
+                def chunk(c8, carry):
+                    base = pl.multiple_of(c8 * 8, 8)
+                    xis = xscr_ref[pl.ds(base, 8), pl.ds(lstart, twidth)]
+                    wgs = wscr_ref[pl.ds(base, 8), pl.ds(lstart, twidth)]
+                    wgs1025 = wgs * 1025.0
+                    for i in range(8):
+                        xi = xis[i:i + 1, :]
+                        # Nested selects: an le-edge contributes 1025w
+                        # (le subset-of bc, so it is in both counts),
+                        # a window-only edge w — one add per edge
+                        # instead of two, and select(cmp, wgt, 0) is
+                        # one VPU op vs the two of wgt * cmp.f32. The
+                        # 1025 packing decodes exactly below via the
+                        # power-of-two 2^-10 multiply.
+                        carry = carry + jnp.where(
+                            xi <= colsm, wgs1025[i:i + 1, :],
+                            jnp.where(xi < colsp,
+                                      wgs[i:i + 1, :], 0.0))
+                    return carry
+
+                acc = jax.lax.fori_loop(
+                    0, nchunk, chunk,
+                    jnp.zeros((span, twidth), jnp.float32))
+                le = jnp.floor(acc * (1.0 / 1024.0))
+                win = acc - le * 1025.0  # bc - le
+                fastm = (sound > 0.0) & (af < colsp) & (bf > colsm)
+                mask = ((jnp.mod(le, 2.0) == 1.0)
+                        | (win > 0) | fastm).astype(jnp.int32)
+
+                # Compacted features: integer intervals on single rows.
+                nf = S(k, _TS_NF).astype(jnp.int32)
+
+                def fbody(j, acc_):
+                    frow = F(k, j, 0)
+                    flo = F(k, j, 1)
+                    fhi = F(k, j, 2)
+                    return acc_ | ((rows_t == frow)
+                                   & (cols >= flo)
+                                   & (cols <= fhi)).astype(jnp.int32)
+
+                mask = jax.lax.fori_loop(0, nf, fbody, mask)
+            else:
+                def cchunk(c8, acc):
+                    base = pl.multiple_of(c8 * 8, 8)
+                    xis = xscr_ref[pl.ds(base, 8), pl.ds(lstart, twidth)]
+                    for i in range(8):
+                        acc = acc ^ (
+                            cols < xis[i:i + 1, :]).astype(jnp.int32)
+                    return acc
+
+                mask = jax.lax.fori_loop(
+                    0, nchunk, cchunk,
+                    jnp.zeros((span, twidth), jnp.int32))
+                mask = mask | ((sound > 0.0) & (cols >= af)
+                               & (cols < bf)).astype(jnp.int32)
+
+            old = canvas_ref[pl.ds(cstart, span),
+                             pl.ds(lstart, twidth)]
+            canvas_ref[pl.ds(cstart, span), pl.ds(lstart, twidth)] = \
+                jnp.where(mask > 0, S(k, _TS_COLOR), old)
+
         def fill(k, g=g):
             count = S(k, _TS_COUNT).astype(jnp.int32)
+            for _pi in range(_SCALAR_PROBE):
+                # Un-foldable consume: S <= 2^24 (packed color), so the
+                # subtraction is always negative and max() is identity —
+                # but the compiler must keep the load.
+                count = jnp.maximum(
+                    count, S(k, _pi % _NS).astype(jnp.int32) - 33554432)
             # The fast-path flag is decided in XLA with IDENTICAL float
             # arithmetic (see _scene_fastok) and rides the SMEM table, so
             # reading it costs the same as `count` — the in-kernel
             # vector->scalar reduction it replaces measured ~3 ms/2048
             # scenes of pipeline-stall latency.
             sound = S(k, _TS_FAST)
+            if single_tile:
+                cols = jax.lax.broadcasted_iota(
+                    jnp.int32, (wc, 1), 0).astype(jnp.float32) + half
+
+                @pl.when(count > 0)
+                def _one(k=k, count=count, sound=sound):
+                    tile_fill(wc, 0, 0, cols, cols - 0.5, cols + 0.5,
+                              k, count, sound)
+                return
             # Column window (sublane dim): bbox clamped, aligned down to 8.
             clo = jnp.clip(S(k, _TS_B2).astype(jnp.int32), 0, wc - 1)
             chi = jnp.clip(S(k, _TS_B3).astype(jnp.int32), 0, wc - 1)
@@ -487,7 +618,7 @@ def _fill_kernel_scene(*refs,
             rlo = jnp.clip(S(k, _TS_B0).astype(jnp.int32), 0, hc - 1)
             rhi = jnp.clip(S(k, _TS_B1).astype(jnp.int32), 0, hc - 1)
             lt0 = (rlo // 128) * 128
-            nlt = rhi // 128 - rlo // 128 + 1
+            nlt = (rhi - lt0) // twidth + 1
 
             # Tiles iterate as nested loops — window (sublane) outer,
             # lane tile inner — so the column iotas hoist out of the inner
@@ -504,92 +635,10 @@ def _fill_kernel_scene(*refs,
                 colsm = cols - 0.5
                 colsp = cols + 0.5
 
-                # Single-interval sprites (all convex shapes; all-rows-ok
-                # scalar from the build pass) skip the per-edge loop
-                # entirely: the whole fill is two compares against the
-                # per-row interval bounds — ~10x fewer tile ops for a
-                # 30-gon circle. The zero-trip fori leaves the slow mask
-                # empty, so the OR below is the fast mask alone.
-                nchunk = jnp.where(sound > 0.0, 0, pl.cdiv(count, 8))
-
                 def lt_body(li, ___):
-                    lstart = pl.multiple_of(lt0 + li * 128, 128)
-                    rows_t = (lstart + jax.lax.broadcasted_iota(
-                        jnp.int32, (1, 128), 1)).astype(jnp.float32) + half
-                    ab2 = ab_ref[0:2, pl.ds(lstart, 128)]  # one dyn read
-                    af = ab2[0:1, :]
-                    bf = ab2[1:2, :]
-                    if pil_exact:
-                        # One accumulator holds both counts: acc = 1025*le + win
-                        # (both <= ~60, exact in f32) — halves the big fori
-                        # carries. Edges are consumed 8 at a time: the loop
-                        # reads one tile-aligned [8, 128] slab per trip (the
-                        # pl.ds offsets are provably sublane/lane multiples)
-                        # and unrolls the 8 rows statically — measured ~4x
-                        # cheaper than per-edge dynamic single-row reads, and
-                        # padded rows are weight-0 neutral. The odd-total trim
-                        # is baked into the weight scratch (above), so the
-                        # fill decision is the plain parity/window rule.
-                        def chunk(c8, carry):
-                            base = pl.multiple_of(c8 * 8, 8)
-                            xis = xscr_ref[pl.ds(base, 8), pl.ds(lstart, 128)]
-                            wgs = wscr_ref[pl.ds(base, 8), pl.ds(lstart, 128)]
-                            wgs1025 = wgs * 1025.0
-                            for i in range(8):
-                                xi = xis[i:i + 1, :]
-                                # Nested selects: an le-edge contributes 1025w
-                                # (le subset-of bc, so it is in both counts),
-                                # a window-only edge w — one add per edge
-                                # instead of two, and select(cmp, wgt, 0) is
-                                # one VPU op vs the two of wgt * cmp.f32. The
-                                # 1025 packing decodes exactly below via the
-                                # power-of-two 2^-10 multiply.
-                                carry = carry + jnp.where(
-                                    xi <= colsm, wgs1025[i:i + 1, :],
-                                    jnp.where(xi < colsp,
-                                              wgs[i:i + 1, :], 0.0))
-                            return carry
-
-                        acc = jax.lax.fori_loop(
-                            0, nchunk, chunk,
-                            jnp.zeros((cspan, 128), jnp.float32))
-                        le = jnp.floor(acc * (1.0 / 1024.0))
-                        win = acc - le * 1025.0  # bc - le
-                        fastm = (sound > 0.0) & (af < colsp) & (bf > colsm)
-                        mask = ((jnp.mod(le, 2.0) == 1.0)
-                                | (win > 0) | fastm).astype(jnp.int32)
-
-                        # Compacted features: integer intervals on single rows.
-                        nf = S(k, _TS_NF).astype(jnp.int32)
-
-                        def fbody(j, acc_):
-                            frow = F(k, j, 0)
-                            flo = F(k, j, 1)
-                            fhi = F(k, j, 2)
-                            return acc_ | ((rows_t == frow)
-                                           & (cols >= flo)
-                                           & (cols <= fhi)).astype(jnp.int32)
-
-                        mask = jax.lax.fori_loop(0, nf, fbody, mask)
-                    else:
-                        def cchunk(c8, acc):
-                            base = pl.multiple_of(c8 * 8, 8)
-                            xis = xscr_ref[pl.ds(base, 8), pl.ds(lstart, 128)]
-                            for i in range(8):
-                                acc = acc ^ (
-                                    cols < xis[i:i + 1, :]).astype(jnp.int32)
-                            return acc
-
-                        mask = jax.lax.fori_loop(
-                            0, nchunk, cchunk,
-                            jnp.zeros((cspan, 128), jnp.int32))
-                        mask = mask | ((sound > 0.0) & (cols >= af)
-                                       & (cols < bf)).astype(jnp.int32)
-
-                    old = canvas_ref[pl.ds(cstart, cspan),
-                                     pl.ds(lstart, 128)]
-                    canvas_ref[pl.ds(cstart, cspan), pl.ds(lstart, 128)] = \
-                        jnp.where(mask > 0, S(k, _TS_COLOR), old)
+                    lstart = pl.multiple_of(lt0 + li * twidth, 128)
+                    tile_fill(cspan, cstart, lstart, cols, colsm, colsp,
+                              k, count, sound)
                     return 0
 
                 jax.lax.fori_loop(0, nlt, lt_body, 0)
@@ -603,7 +652,7 @@ def _fill_kernel_scene(*refs,
 
         # Unpack packed-RGB exactly (integers <= 2^24, power-of-two
         # divisors) and downsample both axes on the MXU, transposed space.
-        p = canvas_ref[...]
+        p = canvas_ref[:, 0:hcl]
 
         _dims = (((1,), (0,)), ((), ()))
 
@@ -651,6 +700,17 @@ def _fill_kernel_scene(*refs,
             o3 = jnp.clip(jnp.floor(o3 + 0.5), 0.0, 255.0)
             for c in range(3):
                 store(c, o3[c * w:(c + 1) * w, :])
+            return 0
+
+        if identity_ds:
+            # anti_aliasing=1: both box matrices are identities (R exactly;
+            # L an identity plus the vertical flip), so the downsample
+            # matmuls are pure data movement — skip them and store the
+            # canvas directly. The flip moves into the caller's final XLA
+            # relayout (it fuses with the output transpose), bit-identical
+            # to the HIGHEST-precision identity matmuls it replaces.
+            for c in range(3):
+                store(c, unpack(c)[:, 0:h])
             return 0
 
         rt_ref, lt_ref = mat_refs
@@ -1268,11 +1328,15 @@ def render_rgb_batch(factors: jnp.ndarray,
         ], axis=-2)  # [B, K, 6, Vp] — order must match the _EF_* indices
         ef = jnp.pad(ef, ((0, 0), (0, 0), (0, _NEF - 6), (0, 0)))
 
+        # anti_aliasing=1: the box matrices are identities (R exactly; L an
+        # identity plus the flip) — skip the matmul operands entirely and
+        # let the caller's output relayout below carry the flip.
+        identity_ds = aa == 1 and not lanczos
         kernel = functools.partial(
             _fill_kernel_scene, num_slots=k, max_vertices=vmax,
             hc=hc, wc=wc, h=h, w=w, pil_exact=pil_exact,
             bg_packed=bg_packed, lanczos=lanczos, cspan=cspan, group=group,
-            interpret=bool(interpret))
+            interpret=bool(interpret), identity_ds=identity_ds)
         scratch = [
             pltpu.VMEM((wc, hcp), jnp.float32),   # packed-RGB canvas
             pltpu.VMEM((vp, hcp), jnp.float32),   # xi scanline table
@@ -1302,6 +1366,9 @@ def render_rgb_batch(factors: jnp.ndarray,
                 pl.BlockSpec((hcp, h), lambda b_: (0, 0),
                              memory_space=pltpu.VMEM),       # Lv^T lo
             ]
+        elif identity_ds:
+            mats = ()
+            mat_specs = []
         else:
             mats = (jnp.asarray(rt_host), jnp.asarray(lt_host))
             mat_specs = [
@@ -1328,6 +1395,10 @@ def render_rgb_batch(factors: jnp.ndarray,
             scratch_shapes=scratch,
             interpret=interpret,
         )(tab, ef, *mats)
+        if identity_ds:
+            # Kernel stored PIL row order; the flip fuses into the output
+            # relayout below.
+            out = jnp.flip(out, axis=3)
         # [B, 3, x, y] -> [B, y, x, 3] (y = final image row, flip done).
         return out.transpose(0, 3, 2, 1)
     cshape = ((hc * wc) // 128, 128) if packed else (strip_rows, wc)
