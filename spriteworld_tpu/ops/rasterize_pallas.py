@@ -56,9 +56,7 @@ from spriteworld_tpu.ops import resample
 _COUNTS_HOST = constants.VERTEX_COUNTS
 _BIG = 1e9
 
-# Experiment toggles (trace-time; see PERF_NOTES.md before flipping).
-_BUILD_NO_BRANCH = False   # build every sprite on the full Vp slab, no when
-_SCALAR_PROBE = 0          # extra dummy SMEM scalar reads per sprite (cost probe)
+
 
 # Edge-table field indices (packed [..., V, NE]; the kernel reads fields as
 # scalar SMEM loads at static addresses).
@@ -199,10 +197,13 @@ _TS_COUNT, _TS_NF, _TS_COLOR, _TS_GYMAX, \
     _TS_B0, _TS_B1, _TS_B2, _TS_B3, _TS_FAST = range(9)
 _NS = 9
 
-# Sublane rows of the per-sprite edge-field block [8, Vp] (vertex index on
-# lanes): the kernel transposes each row to a [Vp, 1] column (free — a
-# vector reshape) to build scanline tables vectorized over all edges.
-_EF_Y0, _EF_M, _EF_X0, _EF_YMIN, _EF_YMAX, _EF_Y1 = range(6)
+# Sublane rows of the edge-field block [_NEF, K*Vp] (sprite x vertex
+# flattened on lanes): the kernel transposes each row to a [K*Vp, 1]
+# column (free — a vector reshape) to build the scanline tables for ALL
+# sprites' edges in one pass. _EF_GYMAX carries the sprite's global
+# bottom row, replicated per vertex, so the batched pass needs no
+# per-sprite scalar.
+_EF_Y0, _EF_M, _EF_X0, _EF_YMIN, _EF_YMAX, _EF_Y1, _EF_GYMAX = range(7)
 _NEF = 8  # padded to a full sublane tile
 
 
@@ -358,7 +359,7 @@ def _fill_kernel_scene(*refs,
         (tab_ref, ef_ref, *mat_refs, out_ref, canvas_ref, xscr_ref,
          ab_ref) = refs
         wscr_ref = None
-    vp = ef_ref.shape[3]
+    vp = ef_ref.shape[2] // num_slots
     half = 0.0 if pil_exact else 0.5
     # Row (lane) dim: `hcl` is the logical canvas width padded to a
     # 128-lane multiple. `twidth` is the lane width of one fill tile.
@@ -382,108 +383,86 @@ def _fill_kernel_scene(*refs,
         rows_f = jax.lax.broadcasted_iota(
             jnp.int32, (1, hcl), 1).astype(jnp.float32) + half
 
-        # Scanline tables for ALL edges at once (~30 ops on [Vp, hcp]) from
-        # the sprite's [8, Vp] field block; for the exact fill, Pillow's
-        # odd-total trim (drop one instance of the row maximum on odd rows;
-        # first-max via iota/min-reduce) is applied here so the hot loop is
-        # the plain parity/window rule. Measured on v5e: building only the
-        # 1-2 bbox lane tiles (fori over nlt with pl.ds stores) is ~11%
-        # SLOWER than this one full-width pass — dynamic-offset scratch
-        # stores cost more than the saved wide ops.
+        # Scanline tables for ALL edges at once, for ALL sprites in ONE
+        # branch-free elementwise pass (phase 1): the per-sprite [8, Vp]
+        # field blocks arrive host-stacked as [_NEF, K*Vp], so xi and the
+        # RAW Pillow instance weights for every (sprite, edge) pair build
+        # on a single [K*Vp, hcl] slab — the six formerly separate
+        # per-sprite build streams (each latency-bound on tiny vectors)
+        # collapse into one wide, ILP-friendly block. Dead sprites have
+        # neutral fields and simply produce zero-weight rows.
         #
-        # The build also derives the single-interval fast-path rows: per
-        # row, when the (trimmed) crossings sit at at most TWO distinct
-        # positions a <= b with odd weight at a (or all at one position,
-        # or none), the exact parity+window rule collapses to one interval
-        # test  fill(col) <=> a < col+0.5 and b > col-0.5.  Convex polygons
-        # — every COBRA workload shape, including the 30-gon circle —
-        # satisfy this on every row (two weakly y-monotone slant chains
-        # cross a row only at shared vertices, where the positions
-        # coincide); stars/spokes fail the check on their multi-span rows
-        # and keep the per-edge loop. The flag itself is decided in XLA
-        # (_scene_fastok) and rides the SMEM table: an in-kernel
-        # vector->scalar reduction here measured ~3 ms/2048 scenes of
-        # pipeline-stall latency.
-        #
-        # Low-vertex sprites (count <= 8: squares, triangles, pentagons —
-        # most of every workload) run the whole pass on an [8, hcp] slab
-        # instead of [Vp=32, hcp]: 4x fewer wide ops, and the per-edge
-        # chunk loop only ever reads the rows the slab wrote.
-        def build(k, g=g):
-            count = S(k, _TS_COUNT).astype(jnp.int32)
+        # Phase 2 (per sprite, just before its fill) applies Pillow's
+        # odd-total trim (drop one instance of the row maximum on odd
+        # rows; first-max via iota/min-reduce) to the sprite's static
+        # slab and derives the single-interval fast-path bounds: per row,
+        # when the (trimmed) crossings sit at at most TWO distinct
+        # positions a <= b, the exact parity+window rule collapses to one
+        # interval test  fill(col) <=> a < col+0.5 and b > col-0.5.
+        # Convex polygons — every COBRA workload shape, including the
+        # 30-gon circle — qualify on every row; stars/spokes fail the
+        # check on their multi-span rows and keep the per-edge loop. The
+        # flag itself is decided in XLA (_scene_fastok) and rides the
+        # SMEM table: an in-kernel vector->scalar reduction here measured
+        # ~3 ms/2048 scenes of pipeline-stall latency.
+        kvp = num_slots * vp
 
-            def table_pass(sz):
-                fb = ef_ref[g, k]  # [8, Vp]
+        def build_phase1(g=g):
+            fb = ef_ref[g]  # [_NEF, K*Vp]
 
-                def col(fi):
-                    c = fb[fi:fi + 1, :].reshape(vp, 1)
-                    return c[0:sz, :] if sz < vp else c
+            def col(fi):
+                return fb[fi:fi + 1, :].reshape(kvp, 1)
 
-                y0c, mc, x0c = col(_EF_Y0), col(_EF_M), col(_EF_X0)
-                # The interpreter path is XLA-CPU-compiled, where an FMA's
-                # single rounding would diverge from ops/rasterize.py's
-                # mul-then-add f32 xi by 1 ulp — enough to flip
-                # crossing-vs-boundary compares; barrier the product.
-                # Mosaic does no FMA contraction (and can't lower the
-                # barrier), so the compiled TPU kernel skips it.
-                prod = (rows_f - y0c) * mc
-                if interpret:
-                    prod = jax.lax.optimization_barrier(prod)
-                xi_full = x0c + prod  # [sz, hcl]
-                xscr_ref[0:sz, 0:hcl] = xi_full
-                if pil_exact:
-                    ymn, ymx = col(_EF_YMIN), col(_EF_YMAX)
-                    inr = (rows_f >= ymn) & (rows_f <= ymx)
-                    dup = inr & (rows_f == ymx) & (ymx < S(k, _TS_GYMAX))
-                    wgt_raw = (inr.astype(jnp.float32)
-                               + dup.astype(jnp.float32))
-                    tot = jnp.sum(wgt_raw, axis=0, keepdims=True)
-                    odd = jnp.mod(tot, 2.0) == 1.0
-                    rmax = jnp.max(jnp.where(wgt_raw > 0, xi_full, -_BIG),
-                                   axis=0, keepdims=True)
-                    ismax = (wgt_raw > 0) & (xi_full == rmax)
-                    vio = jax.lax.broadcasted_iota(
-                        jnp.int32, (sz, hcl), 0)
-                    fidx = jnp.min(jnp.where(ismax, vio, sz), axis=0,
-                                   keepdims=True)
-                    first = vio == fidx
-                    wgt = wgt_raw - (odd & ismax
-                                     & first).astype(jnp.float32)
-                    wscr_ref[0:sz, 0:hcl] = wgt
-                    posw = wgt > 0.0
-                    a_row = jnp.min(
-                        jnp.where(posw, xi_full, _BIG), axis=0,
-                        keepdims=True)
-                    b_row = jnp.max(
-                        jnp.where(posw, xi_full, -_BIG), axis=0,
-                        keepdims=True)
-                else:
-                    straddle = (y0c > rows_f) != (col(_EF_Y1) > rows_f)
-                    xscr_ref[0:sz, 0:hcl] = jnp.where(
-                        straddle, xi_full, -_BIG)
-                    a_row = jnp.min(
-                        jnp.where(straddle, xi_full, _BIG), axis=0,
-                        keepdims=True)
-                    b_row = jnp.max(
-                        jnp.where(straddle, xi_full, -_BIG), axis=0,
-                        keepdims=True)
-                ab_ref[0:1, 0:hcl] = a_row
-                ab_ref[1:2, 0:hcl] = b_row
-
-            if _BUILD_NO_BRANCH:
-                table_pass(vp)
-            elif vp > 8:
-                @pl.when((count > 0) & (count <= 8))
-                def _small():
-                    table_pass(8)
-
-                @pl.when(count > 8)
-                def _full():
-                    table_pass(vp)
+            y0c, mc, x0c = col(_EF_Y0), col(_EF_M), col(_EF_X0)
+            # The interpreter path is XLA-CPU-compiled, where an FMA's
+            # single rounding would diverge from ops/rasterize.py's
+            # mul-then-add f32 xi by 1 ulp — enough to flip
+            # crossing-vs-boundary compares; barrier the product.
+            # Mosaic does no FMA contraction (and can't lower the
+            # barrier), so the compiled TPU kernel skips it.
+            prod = (rows_f - y0c) * mc
+            if interpret:
+                prod = jax.lax.optimization_barrier(prod)
+            xi_full = x0c + prod  # [K*Vp, hcl]
+            if pil_exact:
+                xscr_ref[:, 0:hcl] = xi_full
+                ymn, ymx = col(_EF_YMIN), col(_EF_YMAX)
+                inr = (rows_f >= ymn) & (rows_f <= ymx)
+                dup = inr & (rows_f == ymx) & (ymx < col(_EF_GYMAX))
+                wscr_ref[:, 0:hcl] = (inr.astype(jnp.float32)
+                                      + dup.astype(jnp.float32))
             else:
-                @pl.when(count > 0)
-                def _only():
-                    table_pass(vp)
+                straddle = (y0c > rows_f) != (col(_EF_Y1) > rows_f)
+                xscr_ref[:, 0:hcl] = jnp.where(straddle, xi_full, -_BIG)
+
+        def build_phase2(k, g=g):
+            sl = slice(k * vp, (k + 1) * vp)
+            xs = xscr_ref[sl, 0:hcl]
+            if pil_exact:
+                wgt_raw = wscr_ref[sl, 0:hcl]
+                tot = jnp.sum(wgt_raw, axis=0, keepdims=True)
+                odd = jnp.mod(tot, 2.0) == 1.0
+                rmax = jnp.max(jnp.where(wgt_raw > 0, xs, -_BIG),
+                               axis=0, keepdims=True)
+                ismax = (wgt_raw > 0) & (xs == rmax)
+                vio = jax.lax.broadcasted_iota(jnp.int32, (vp, hcl), 0)
+                fidx = jnp.min(jnp.where(ismax, vio, vp), axis=0,
+                               keepdims=True)
+                first = vio == fidx
+                wgt = wgt_raw - (odd & ismax & first).astype(jnp.float32)
+                wscr_ref[sl, 0:hcl] = wgt
+                posw = wgt > 0.0
+                a_row = jnp.min(jnp.where(posw, xs, _BIG), axis=0,
+                                keepdims=True)
+                b_row = jnp.max(jnp.where(posw, xs, -_BIG), axis=0,
+                                keepdims=True)
+            else:
+                straddle = xs > -_BIG * 0.5
+                a_row = jnp.min(jnp.where(straddle, xs, _BIG), axis=0,
+                                keepdims=True)
+                b_row = jnp.max(xs, axis=0, keepdims=True)
+            ab_ref[0:1, 0:hcl] = a_row
+            ab_ref[1:2, 0:hcl] = b_row
 
         # Single-tile canvases (the whole frame is one [wc, 128] block —
         # the anti_aliasing=1 case) take a fully static fill: no window /
@@ -524,7 +503,7 @@ def _fill_kernel_scene(*refs,
                 # is baked into the weight scratch (above), so the
                 # fill decision is the plain parity/window rule.
                 def chunk(c8, carry):
-                    base = pl.multiple_of(c8 * 8, 8)
+                    base = pl.multiple_of(k * vp + c8 * 8, 8)
                     xis = xscr_ref[pl.ds(base, 8), pl.ds(lstart, twidth)]
                     wgs = wscr_ref[pl.ds(base, 8), pl.ds(lstart, twidth)]
                     wgs1025 = wgs * 1025.0
@@ -566,7 +545,7 @@ def _fill_kernel_scene(*refs,
                 mask = jax.lax.fori_loop(0, nf, fbody, mask)
             else:
                 def cchunk(c8, acc):
-                    base = pl.multiple_of(c8 * 8, 8)
+                    base = pl.multiple_of(k * vp + c8 * 8, 8)
                     xis = xscr_ref[pl.ds(base, 8), pl.ds(lstart, twidth)]
                     for i in range(8):
                         acc = acc ^ (
@@ -579,19 +558,16 @@ def _fill_kernel_scene(*refs,
                 mask = mask | ((sound > 0.0) & (cols >= af)
                                & (cols < bf)).astype(jnp.int32)
 
-            old = canvas_ref[pl.ds(cstart, span),
-                             pl.ds(lstart, twidth)]
-            canvas_ref[pl.ds(cstart, span), pl.ds(lstart, twidth)] = \
-                jnp.where(mask > 0, S(k, _TS_COLOR), old)
+            # Masked store: no canvas read-modify-write. With straight-line
+            # first-tile fills this measured -0.26 ms/2048 scenes at
+            # 64x64/AA=5 on v5e vs the read-select-write form.
+            pltpu.store(
+                canvas_ref.at[pl.ds(cstart, span), pl.ds(lstart, twidth)],
+                jnp.full((span, twidth), S(k, _TS_COLOR), jnp.float32),
+                mask=mask > 0)
 
         def fill(k, g=g):
             count = S(k, _TS_COUNT).astype(jnp.int32)
-            for _pi in range(_SCALAR_PROBE):
-                # Un-foldable consume: S <= 2^24 (packed color), so the
-                # subtraction is always negative and max() is identity —
-                # but the compiler must keep the load.
-                count = jnp.maximum(
-                    count, S(k, _pi % _NS).astype(jnp.int32) - 33554432)
             # The fast-path flag is decided in XLA with IDENTICAL float
             # arithmetic (see _scene_fastok) and rides the SMEM table, so
             # reading it costs the same as `count` — the in-kernel
@@ -620,34 +596,58 @@ def _fill_kernel_scene(*refs,
             lt0 = (rlo // 128) * 128
             nlt = (rhi - lt0) // twidth + 1
 
-            # Tiles iterate as nested loops — window (sublane) outer,
-            # lane tile inner — so the column iotas hoist out of the inner
-            # loop and the per-tile index math is pure adds (a dynamic
-            # divmod per tile plus the recomputed iotas measured ~0.2 us
-            # per extra tile). All offsets are multiples of 8 / 128 by
-            # construction — hint it so Mosaic allows the dynamic offsets.
-            def win_body(wi, __, k=k, count=count, clo8=clo8,
-                         nlt=nlt, lt0=lt0, sound=sound):
-                cstart = pl.multiple_of(
-                    jnp.minimum(clo8 + wi * cspan, wc - cspan), 8)
-                cols = (cstart + jax.lax.broadcasted_iota(
-                    jnp.int32, (cspan, 1), 0)).astype(jnp.float32) + half
-                colsm = cols - 0.5
-                colsp = cols + 0.5
+            # Straight-line first (window, tile) — the only one most
+            # sprites have — plus rarely-entered guarded loops for the
+            # rest. (The former nested window x lane-tile fori pair paid
+            # its setup even in the 1-window/1-tile common case.)
+            cstart0 = pl.multiple_of(
+                jnp.minimum(clo8, wc - cspan), 8)
+            cols0 = (cstart0 + jax.lax.broadcasted_iota(
+                jnp.int32, (cspan, 1), 0)).astype(jnp.float32) + half
+            lt0m = pl.multiple_of(lt0, 128)
 
+            @pl.when(count > 0)
+            def _t0(k=k, count=count, sound=sound):
+                tile_fill(cspan, cstart0, lt0m, cols0,
+                          cols0 - 0.5, cols0 + 0.5, k, count, sound)
+
+            @pl.when((count > 0) & (nlt > 1))
+            def _t0rest(k=k, count=count, sound=sound, nlt=nlt,
+                        lt0=lt0):
                 def lt_body(li, ___):
                     lstart = pl.multiple_of(lt0 + li * twidth, 128)
-                    tile_fill(cspan, cstart, lstart, cols, colsm, colsp,
+                    tile_fill(cspan, cstart0, lstart, cols0,
+                              cols0 - 0.5, cols0 + 0.5,
                               k, count, sound)
                     return 0
 
-                jax.lax.fori_loop(0, nlt, lt_body, 0)
-                return 0
+                jax.lax.fori_loop(1, nlt, lt_body, 0)
 
-            jax.lax.fori_loop(0, jnp.where(count > 0, nwin, 0), win_body, 0)
+            @pl.when((count > 0) & (nwin > 1))
+            def _wrest(k=k, count=count, sound=sound, nlt=nlt,
+                       lt0=lt0, clo8=clo8, nwin=nwin):
+                def win_body(wi, __):
+                    cstart = pl.multiple_of(
+                        jnp.minimum(clo8 + wi * cspan, wc - cspan), 8)
+                    cols = (cstart + jax.lax.broadcasted_iota(
+                        jnp.int32, (cspan, 1), 0)
+                    ).astype(jnp.float32) + half
 
+                    def lt_body(li, ___):
+                        lstart = pl.multiple_of(lt0 + li * twidth, 128)
+                        tile_fill(cspan, cstart, lstart, cols,
+                                  cols - 0.5, cols + 0.5,
+                                  k, count, sound)
+                        return 0
+
+                    jax.lax.fori_loop(0, nlt, lt_body, 0)
+                    return 0
+
+                jax.lax.fori_loop(1, nwin, win_body, 0)
+
+        build_phase1()
         for k in range(num_slots):
-            build(k)
+            build_phase2(k)
             fill(k)
 
         # Unpack packed-RGB exactly (integers <= 2^24, power-of-two
@@ -1244,7 +1244,10 @@ def render_rgb_batch(factors: jnp.ndarray,
             raise ValueError(
                 f"scene_group must divide the batch size {b}; got "
                 f"{scene_group}")
-        cspan = scene_cspan if scene_cspan else min(wc, 80)
+        # 96 re-tuned at the straight-line fill balance: wide enough that
+        # the guarded extra-window loop never fires for typical sprites
+        # (scale <= 0.3 at AA=5), ~0.4 ms/2048 better than 80 on v5e.
+        cspan = scene_cspan if scene_cspan else min(wc, 96)
         group = scene_group if scene_group \
             else next((g for g in (4, 2) if b % g == 0), 1)
         # One packed SMEM table per scene: scalars, then (pil_exact only)
@@ -1300,15 +1303,16 @@ def render_rgb_batch(factors: jnp.ndarray,
         assert feat == _NS + (2 * vmax * 3 if pil_exact else 0), \
             "SMEM table layout out of sync with the _TS_* indices"
 
-        # Per-sprite edge-field block [B, K, _NEF, Vp] (vertex index on
-        # lanes): the kernel builds the scanline tables in-kernel from
-        # these six field rows (see its docstring). Vertex rows are padded
-        # to a sublane multiple with NEUTRAL fields: y-range inverted
-        # (weight 0 for the exact fill) and y1 == y0 == 0 (no straddle for
-        # the centroid fill), so kernel loops may safely overrun into
-        # padding. The canvas row dim is padded to a 128-lane multiple so
-        # the kernel can address whole lane tiles dynamically; the padded
-        # vertical downsample rows are zero.
+        # Edge-field block [B, _NEF, K*Vp] (field rows; sprite x vertex
+        # flattened on lanes): the kernel builds the scanline tables for
+        # ALL sprites in one batched pass from these rows (see its
+        # docstring). Vertex slots are padded to a sublane multiple with
+        # NEUTRAL fields: y-range inverted (weight 0 for the exact fill)
+        # and y1 == y0 == 0 (no straddle for the centroid fill), so
+        # kernel loops may safely overrun into padding. The canvas row
+        # dim is padded to a 128-lane multiple so the kernel can address
+        # whole lane tiles dynamically; the padded vertical downsample
+        # rows are zero.
         vp = -(-vmax // 8) * 8  # pad vertex rows to a sublane multiple
         hcp = -(-hc // 128) * 128
         lt_host = np.pad(lt_host, ((0, hcp - hc), (0, 0)))
@@ -1325,8 +1329,10 @@ def render_rgb_batch(factors: jnp.ndarray,
             padf(_E_YMIN, _BIG),
             padf(_E_YMAX, -_BIG),
             padf(_E_Y1, 0.0),
-        ], axis=-2)  # [B, K, 6, Vp] — order must match the _EF_* indices
-        ef = jnp.pad(ef, ((0, 0), (0, 0), (0, _NEF - 6), (0, 0)))
+            jnp.broadcast_to(gymax[..., None], (b, k, vp)),
+        ], axis=1)  # [B, 7, K, Vp] — order must match the _EF_* indices
+        ef = jnp.pad(ef, ((0, 0), (0, _NEF - 7), (0, 0), (0, 0)))
+        ef = ef.reshape(b, _NEF, k * vp)
 
         # anti_aliasing=1: the box matrices are identities (R exactly; L an
         # identity plus the flip) — skip the matmul operands entirely and
@@ -1338,11 +1344,12 @@ def render_rgb_batch(factors: jnp.ndarray,
             bg_packed=bg_packed, lanczos=lanczos, cspan=cspan, group=group,
             interpret=bool(interpret), identity_ds=identity_ds)
         scratch = [
-            pltpu.VMEM((wc, hcp), jnp.float32),   # packed-RGB canvas
-            pltpu.VMEM((vp, hcp), jnp.float32),   # xi scanline table
+            pltpu.VMEM((wc, hcp), jnp.float32),       # packed-RGB canvas
+            pltpu.VMEM((k * vp, hcp), jnp.float32),   # xi tables (all K)
         ]
         if pil_exact:
-            scratch.append(pltpu.VMEM((vp, hcp), jnp.float32))  # trimmed wgt
+            scratch.append(
+                pltpu.VMEM((k * vp, hcp), jnp.float32))  # weights (all K)
         # Single-interval fast path: per-row a/b interval bounds.
         scratch.append(pltpu.VMEM((8, hcp), jnp.float32))
         if lanczos:
@@ -1383,8 +1390,8 @@ def render_rgb_batch(factors: jnp.ndarray,
             in_specs=[
                 pl.BlockSpec((group, k, feat), lambda b_: (b_, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((group, k, _NEF, vp),
-                             lambda b_: (b_, 0, 0, 0),
+                pl.BlockSpec((group, _NEF, k * vp),
+                             lambda b_: (b_, 0, 0),
                              memory_space=pltpu.VMEM),       # edge fields
                 *mat_specs,
             ],
